@@ -1,0 +1,113 @@
+"""Public API: peaq(ref, test, advanced=...) -> ODG/DI/MOVs.
+
+Host side prepares fixed-shape, zero-padded signal arrays (the GstAdapter
+drain + flush semantics, src/gstpeaq.c:596-611,715-745); the device side is a
+single jitted program per (frame-count bucket, mode, dtype).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import numpy as np
+
+from . import constants as C
+from .ops import framing
+
+
+@dataclasses.dataclass
+class PeaqResult:
+    odg: float
+    di: float
+    movs: dict[str, float]
+    total_snr_db: float | None = None
+
+
+def _as_2d_f32(x) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2:
+        raise ValueError("signals must be [samples] or [samples, channels]")
+    return x
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_basic(n_frames: int, channels: int, playback_level: float,
+                  settings: C.Settings, dtype_name: str):
+    import jax
+    import jax.numpy as jnp
+    from .models import basic
+    dtype = jnp.dtype(dtype_name)
+    pipe = basic.make_pipeline(C.BASIC_BAND_COUNT, playback_level, settings,
+                               dtype)
+    return jax.jit(pipe)
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_advanced(n_fft_frames: int, n_fb_frames: int, channels: int,
+                     playback_level: float, settings: C.Settings,
+                     dtype_name: str):
+    import jax
+    import jax.numpy as jnp
+    from .models import advanced
+    dtype = jnp.dtype(dtype_name)
+    pipe = advanced.make_pipeline(playback_level, settings, dtype)
+    return jax.jit(pipe)
+
+
+def default_dtype() -> str:
+    """float64 when x64 is enabled (CPU conformance), else float32 (TPU)."""
+    import jax
+    return "float64" if jax.config.jax_enable_x64 else "float32"
+
+
+def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
+         settings: C.Settings = C.DEFAULT_SETTINGS,
+         dtype: str | None = None, return_snr: bool = False) -> PeaqResult:
+    """Compute PEAQ ODG/DI for one 48 kHz pair.
+
+    ref/test: arrays [samples] or [samples, channels], float; 48 kHz.
+    """
+    ref = _as_2d_f32(ref)
+    test = _as_2d_f32(test)
+    if ref.shape[1] != test.shape[1]:
+        raise ValueError("ref/test channel counts differ")
+    dtype = dtype or default_dtype()
+
+    n_fft = framing.num_frames(ref.shape[0], test.shape[0],
+                               C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+    ref_fft = framing.pad_signal(ref, n_fft, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+    test_fft = framing.pad_signal(test, n_fft, C.FFT_FRAMESIZE,
+                                  C.FFT_STEPSIZE)
+
+    if not advanced:
+        fn = _jitted_basic(n_fft, ref.shape[1], playback_level, settings,
+                           dtype)
+        out = fn(ref_fft, test_fft)
+        movs = {name: float(v)
+                for name, v in zip(C.MOV_BASIC_NAMES, np.asarray(out.movs))}
+        snr = None
+        if return_snr:
+            snr = float(10 * np.log10(out.total_signal_energy
+                                      / out.total_noise_energy))
+        return PeaqResult(odg=float(out.odg), di=float(out.di), movs=movs,
+                          total_snr_db=snr)
+
+    n_fb = framing.num_frames(ref.shape[0], test.shape[0],
+                              C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+    ref_fb = framing.pad_signal(ref, n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+    test_fb = framing.pad_signal(test, n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+    fn = _jitted_advanced(n_fft, n_fb, ref.shape[1], playback_level, settings,
+                          dtype)
+    out = fn(ref_fft, test_fft, ref_fb, test_fb)
+    movs = {name: float(v)
+            for name, v in zip(C.MOV_ADVANCED_NAMES, np.asarray(out.movs))}
+    snr = None
+    if return_snr:
+        snr = float(10 * np.log10(out.total_signal_energy
+                                  / out.total_noise_energy))
+    return PeaqResult(odg=float(out.odg), di=float(out.di), movs=movs,
+                      total_snr_db=snr)

@@ -1,0 +1,157 @@
+"""Advanced-version PEAQ pipeline (FFT + filter-bank ear models, 5 MOVs).
+
+Two parallel paths over the same audio, as in the reference
+(src/gstpeaq.c:923-1010): the 55-band FFT ear model at frame 2048 / hop 1024
+feeding SegmentalNMR + EHS, and the 40-band filter-bank ear model at frame
+192 feeding RmsModDiffA / RmsNoiseLoudAsymA / AvgLinDistA through the level
+adapter and modulation processors.  Each path has its own frame counters and
+data-boundary gating.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax.numpy as jnp
+
+from .. import constants as C
+from .. import earparams as EP
+from ..ops import fb_ear as FB
+from ..ops import fft_ear as FE
+from ..ops import framing
+from . import accum
+from . import level_adapt
+from . import modulation as modproc
+from . import movs as MOVS
+from . import nn
+
+
+class AdvancedOutputs(NamedTuple):
+    odg: Any
+    di: Any
+    movs: Any          # [5] in MOV_ADVANCED_NAMES order
+    total_signal_energy: Any
+    total_noise_energy: Any
+
+
+def make_pipeline(playback_level: float = 92.0,
+                  settings: C.Settings = C.DEFAULT_SETTINGS,
+                  dtype=jnp.float64):
+    """Build the jittable advanced pipeline closure.
+
+    Returns fn(ref_fft, test_fft, ref_fb, test_fb):
+      ref/test_fft: [(F_fft + 1) * 1024, CH] float32 (zero-padded)
+      ref/test_fb:  [F_fb * 192, CH] float32 (zero-padded)
+    """
+    fft_params = EP.fft_ear_params(C.ADVANCED_FFT_BAND_COUNT, playback_level)
+    kf = FE.build_consts(fft_params, dtype=dtype)
+    fb_params = EP.fb_ear_params(playback_level)
+    kb = FB.build_consts(fb_params, dtype=dtype)
+    avg_matrix = jnp.asarray(
+        level_adapt.sliding_average_matrix(C.FB_BAND_COUNT), dtype=dtype)
+
+    def pipeline(ref_fft, test_fft, ref_fb, test_fb) -> AdvancedOutputs:
+        # ------------------ FFT path: SegmentalNMR + EHS ------------------
+        n_fft = ref_fft.shape[0] // C.FFT_STEPSIZE - 1
+        rframes = framing.frames_overlap50(ref_fft, n_fft)   # [F,CH,2048]
+        tframes = framing.frames_overlap50(test_fft, n_fft)
+        above_fft = framing.above_threshold(rframes.astype(dtype))
+        _, _, committed_fft = accum.activity(above_fft)
+
+        both = jnp.stack([rframes, tframes])
+        power, weighted, unsmeared, thresh = FE.stateless(kf, both)
+        exc = FE.time_smear(kf, jnp.moveaxis(unsmeared, 1, 0), axis=0)
+        exc = jnp.moveaxis(exc, 0, 1)
+        nmr_mean, _ = MOVS.nmr(kf.group_matrix, kf.masking_difference,
+                               weighted[0], weighted[1], exc[0])
+        ehs_val, ehs_valid = MOVS.ehs(weighted[0], weighted[1],
+                                      thresh[0], thresh[1], settings, dtype)
+        cmf = committed_fft[:, None]
+        one = jnp.ones_like(nmr_mean)
+        seg_nmr = jnp.mean(accum.avg(
+            10.0 * jnp.log10(nmr_mean), one, cmf))
+        ehs_mov = jnp.mean(accum.avg(ehs_val, one, cmf & ehs_valid[:, None]))
+
+        # ------------- FB path: ModDiff / NoiseLoudAsym / LinDist ----------
+        n_fb = ref_fb.shape[0] // C.FB_FRAMESIZE
+        rfb_frames = framing.frames_disjoint(ref_fb, n_fb, C.FB_FRAMESIZE)
+        above_fb = framing.above_threshold(rfb_frames.astype(dtype))
+        _, _, committed_fb = accum.activity(above_fb)
+
+        # [CH, T] signals for the filter bank
+        ref_sig = jnp.moveaxis(ref_fb.astype(dtype), 1, 0)
+        test_sig = jnp.moveaxis(test_fb.astype(dtype), 1, 0)
+        ref_e, ref_u = FB.process_signal(kb, ref_sig, n_fb)   # [CH,F,40]
+        test_e, test_u = FB.process_signal(kb, test_sig, n_fb)
+        # frame axis leading for the scans
+        ref_e = jnp.moveaxis(ref_e, -2, 0)    # [F,CH,40]
+        ref_u = jnp.moveaxis(ref_u, -2, 0)
+        test_e = jnp.moveaxis(test_e, -2, 0)
+        test_u = jnp.moveaxis(test_u, -2, 0)
+
+        adapted_ref, adapted_test = level_adapt.level_adapt(
+            kb.adapt_a, avg_matrix, ref_e, test_e)
+        mod_ref, avg_loud_ref = modproc.modulation(
+            kb.adapt_a, ref_u, C.FB_FRAMESIZE)
+        mod_test, _ = modproc.modulation(kb.adapt_a, test_u, C.FB_FRAMESIZE)
+
+        loud_ref = FB.loudness(kb, ref_e)
+        loud_test = FB.loudness(kb, test_e)
+        loud_ok = jnp.any((loud_ref > 0.1) & (loud_test > 0.1), axis=-1)
+        any_loud = jnp.any(loud_ok)
+        f_idx = jnp.arange(n_fb)
+        loud_frame = jnp.argmax(loud_ok)
+        md_gate = f_idx >= 125                     # src/gstpeaq.c:988
+        nl_gate = (md_gate & any_loud
+                   & (f_idx - 13 >= loud_frame))   # src/gstpeaq.c:996-997
+
+        md1, _, temp_wt = MOVS.modulation_difference(
+            kb.internal_noise, mod_ref, mod_test, avg_loud_ref,
+            rms_mode=True, lev_wt=1.0)
+        nl_asym = MOVS.noise_loudness(
+            kb.internal_noise, 2.5, 0.3, 1.0, 0.1, mod_ref, mod_test,
+            adapted_ref, adapted_test)
+        if settings.swap_mod_patts_for_noise_loudness_movs:
+            missing = MOVS.noise_loudness(
+                kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_test, mod_ref,
+                adapted_test, adapted_ref)
+            lin_dist = MOVS.noise_loudness(
+                kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_ref, mod_ref,
+                adapted_ref, ref_e)
+        else:
+            missing = MOVS.noise_loudness(
+                kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_ref, mod_test,
+                adapted_test, adapted_ref)
+            lin_dist = MOVS.noise_loudness(
+                kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_ref, mod_test,
+                adapted_ref, ref_e)
+
+        cmb = committed_fb[:, None]
+        gmb = md_gate[:, None]
+        oneb = jnp.ones_like(md1)
+        rms_mod_diff = jnp.mean(accum.rms(md1, temp_wt, cmb & gmb))
+        nl_mask = cmb & nl_gate[:, None]
+        rms_noise_loud_asym = jnp.mean(accum.rms_asym(nl_asym, missing,
+                                                      nl_mask))
+        avg_lin_dist = jnp.mean(accum.avg(lin_dist, oneb, nl_mask))
+
+        mov = {
+            "RmsModDiffA": rms_mod_diff,
+            "RmsNoiseLoudAsymA": rms_noise_loud_asym,
+            "SegmentalNMRB": seg_nmr,
+            "EHSB": ehs_mov,
+            "AvgLinDistA": avg_lin_dist,
+        }
+        mov_vec = jnp.stack([mov[name] for name in C.MOV_ADVANCED_NAMES])
+        di = nn.di_advanced(mov_vec, settings.clamp_movs)
+        odg = nn.odg(di)
+
+        half = C.FFT_FRAMESIZE // 2
+        rsum = jnp.sum(rframes[..., :half].astype(dtype) ** 2)
+        nsum = jnp.sum((rframes[..., :half].astype(dtype)
+                        - tframes[..., :half].astype(dtype)) ** 2)
+        return AdvancedOutputs(odg=odg, di=di, movs=mov_vec,
+                               total_signal_energy=rsum,
+                               total_noise_energy=nsum)
+
+    return pipeline

@@ -1,0 +1,145 @@
+"""Basic-version PEAQ pipeline (FFT ear model, 11 MOVs), fully vectorized.
+
+One jittable function maps padded 48 kHz signal pairs to {ODG, DI, MOVs}:
+
+  stage A (vmapped over frames/channels/signals): window+FFT+weighting+
+          grouping+spreading, per-frame MOV raw terms            (MXU/VPU)
+  stage B (associative scans over the frame axis): time smearing, level
+          adaptation, modulation smoothing, MFPD filter          (log-depth)
+  stage C: masked-reduction accumulation + cognitive model       (tiny)
+
+Orchestration semantics follow src/gstpeaq.c:849-921 exactly: the
+frame>=24 gates, the loudness-reached +3 delay, the data-boundary tentative
+machinery (closed form, see accum.py), binaural ADB/MFPD, and the trailing
+zero-pad flush frame (supplied by host-side padding).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from .. import earparams as EP
+from ..ops import fft_ear as FE
+from ..ops import framing
+from . import accum
+from . import level_adapt
+from . import modulation as modproc
+from . import movs as MOVS
+from . import nn
+
+
+class BasicOutputs(NamedTuple):
+    odg: Any
+    di: Any
+    movs: Any          # [11] in MOV_BASIC_NAMES order
+    total_signal_energy: Any
+    total_noise_energy: Any
+
+
+def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
+                  playback_level: float = 92.0,
+                  settings: C.Settings = C.DEFAULT_SETTINGS,
+                  dtype=jnp.float64):
+    """Build the jittable basic pipeline closure.
+
+    Returns fn(ref_sig, test_sig) with ref/test_sig: [T, CH] float32,
+    T = (n_frames + 1) * 1024 (zero-padded, host-prepared).
+    """
+    params = EP.fft_ear_params(band_count, playback_level)
+    k = FE.build_consts(params, dtype=dtype)
+    avg_matrix = jnp.asarray(
+        level_adapt.sliding_average_matrix(band_count), dtype=dtype)
+
+    def pipeline(ref_sig: jnp.ndarray, test_sig: jnp.ndarray) -> BasicOutputs:
+        n_frames = ref_sig.shape[0] // C.FFT_STEPSIZE - 1
+        ref_frames = framing.frames_overlap50(ref_sig, n_frames)   # [F,CH,2048]
+        test_frames = framing.frames_overlap50(test_sig, n_frames)
+        channels = ref_frames.shape[1]
+
+        above = framing.above_threshold(ref_frames.astype(dtype))  # [F]
+        has, active, committed = accum.activity(above)
+
+        # ---- stage A: stateless ear model on both signals ----
+        both = jnp.stack([ref_frames, test_frames])  # [2,F,CH,2048]
+        power, weighted, unsmeared, thresh = FE.stateless(k, both)
+        ref_p, test_p = power[0], power[1]
+        ref_w, test_w = weighted[0], weighted[1]
+
+        # ---- stage B: scans over the frame axis ----
+        exc = FE.time_smear(k, jnp.moveaxis(unsmeared, 1, 0), axis=0)
+        exc = jnp.moveaxis(exc, 0, 1)          # [2,F,CH,Z]
+        ref_e, test_e = exc[0], exc[1]
+        adapted_ref, adapted_test = level_adapt.level_adapt(
+            k.adapt_a, avg_matrix, ref_e, test_e)
+        mod_ref, avg_loud_ref = modproc.modulation(
+            k.adapt_a, unsmeared[0], C.FFT_STEPSIZE)
+        mod_test, _ = modproc.modulation(
+            k.adapt_a, unsmeared[1], C.FFT_STEPSIZE)
+
+        # loudness gate; src/gstpeaq.c:841-845,880-886
+        loud_ref = FE.loudness(k, ref_e)       # [F,CH]
+        loud_test = FE.loudness(k, test_e)
+        loud_ok = jnp.any((loud_ref > 0.1) & (loud_test > 0.1), axis=-1)
+        any_loud = jnp.any(loud_ok)
+        f_idx = jnp.arange(loud_ok.shape[0])
+        loud_frame = jnp.argmax(loud_ok)       # first frame where reached
+        nl_gate = ((f_idx >= 24) & any_loud
+                   & (f_idx - 3 >= loud_frame))
+        md_gate = f_idx >= 24
+
+        # ---- stage C: per-frame MOV terms ----
+        md1, md2, temp_wt = MOVS.modulation_difference(
+            k.internal_noise, mod_ref, mod_test, avg_loud_ref,
+            rms_mode=False, lev_wt=100.0)
+        nl = MOVS.noise_loudness(
+            k.internal_noise, 1.5, 0.15, 0.5, 0.0, mod_ref, mod_test,
+            adapted_ref, adapted_test)
+        bw_ref, bw_test, bw_valid = MOVS.bandwidth(ref_p, test_p)
+        nmr_mean, disturbed = MOVS.nmr(
+            k.group_matrix, k.masking_difference, ref_w, test_w, ref_e)
+        p_bin, steps_bin = MOVS.prob_detect(
+            ref_e, test_e, settings.use_floor_for_steps_above_threshold)
+        ehs_val, ehs_valid = MOVS.ehs(
+            ref_w, test_w, thresh[0], thresh[1], settings, dtype)
+
+        # ---- accumulate (channel means where multichannel) ----
+        cm = committed[:, None]
+        gm = md_gate[:, None]
+        one = jnp.ones_like(md1)
+        mov = {
+            "BandwidthRefB": jnp.mean(
+                accum.avg(bw_ref, one, cm & bw_valid)),
+            "BandwidthTestB": jnp.mean(
+                accum.avg(bw_test, one, cm & bw_valid)),
+            "TotalNMRB": jnp.mean(accum.avg_log(nmr_mean, one, cm)),
+            "WinModDiff1B": jnp.mean(accum.avg_window(
+                md1, active[:, None] & gm, committed[:, None])),
+            "ADBB": accum.adb(steps_bin, committed & (p_bin > 0.5)),
+            "EHSB": jnp.mean(
+                accum.avg(ehs_val, one, cm & ehs_valid[:, None])),
+            "AvgModDiff1B": jnp.mean(accum.avg(md1, temp_wt, cm & gm)),
+            "AvgModDiff2B": jnp.mean(accum.avg(md2, temp_wt, cm & gm)),
+            "RmsNoiseLoudB": jnp.mean(
+                accum.rms(nl, one, cm & nl_gate[:, None])),
+            "MFPDB": accum.filtered_max(p_bin, active, committed),
+            "RelDistFramesB": jnp.mean(accum.avg(disturbed, one, cm)),
+        }
+        mov_vec = jnp.stack([mov[name] for name in C.MOV_BASIC_NAMES])
+        di = nn.di_basic(mov_vec, settings.clamp_movs)
+        odg = nn.odg(di)
+
+        # totalsnr bookkeeping; src/gstpeaq.c:913-918
+        half = C.FFT_FRAMESIZE // 2
+        rsum = jnp.sum(ref_frames[..., :half].astype(dtype) ** 2)
+        nsum = jnp.sum((ref_frames[..., :half].astype(dtype)
+                        - test_frames[..., :half].astype(dtype)) ** 2)
+        return BasicOutputs(odg=odg, di=di, movs=mov_vec,
+                            total_signal_energy=rsum,
+                            total_noise_energy=nsum)
+
+    return pipeline

@@ -1,0 +1,68 @@
+"""Level and pattern adaptation, vectorized over the frame axis.
+
+The reference (src/leveladapter.c:242-340) carries eight per-band state
+arrays frame by frame. All of them are first-order *linear* recurrences, so
+the whole adapter runs as a handful of associative scans over the frame axis
+plus elementwise math — no serial loop:
+
+  1. ref/test filtered excitations  (smoothing IIR)      -> scan
+  2. scalar level correction        (per-frame reduction) -> elementwise
+  3. filtered num/den               (IIR without (1-a))   -> scan
+  4. pattern-adaptation sliding average over bands        -> static matmul
+  5. pattcorr smoothing             (smoothing IIR)       -> scan
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import iir
+
+
+def sliding_average_matrix(band_count: int) -> np.ndarray:
+    """Static [Z, Z] matrix for the +-M1/M2 band average;
+    src/leveladapter.c:313-325."""
+    m1c = band_count // 36
+    m2c = band_count // 25
+    mat = np.zeros((band_count, band_count))
+    for k in range(band_count):
+        m1 = min(k, m1c)
+        m2 = min(band_count - k - 1, m2c)
+        mat[k - m1:k + m2 + 1, k] = 1.0 / (m1 + m2 + 1)
+    return mat
+
+
+def level_adapt(a: jnp.ndarray, avg_matrix: jnp.ndarray,
+                ref_excitation: jnp.ndarray, test_excitation: jnp.ndarray,
+                axis: int = 0):
+    """Process all frames at once.
+
+    a:                [Z] smoothing coefficients (tau 0.008/0.05)
+    avg_matrix:       [Z, Z] from sliding_average_matrix
+    ref/test_excitation: [F, ..., Z]
+    Returns (adapted_ref, adapted_test), each [F, ..., Z].
+    """
+    ref_filt = iir.smoothing_filter(a, ref_excitation, axis=axis)
+    test_filt = iir.smoothing_filter(a, test_excitation, axis=axis)
+    # (45) in BS.1387; src/leveladapter.c:260-277
+    num = jnp.sum(jnp.sqrt(ref_filt * test_filt), axis=-1)
+    den = jnp.sum(test_filt, axis=-1)
+    lev_corr = (num * num / (den * den))[..., None]
+    louder_ref = lev_corr > 1.0
+    levcorr_ref = jnp.where(louder_ref, ref_excitation / lev_corr,
+                            ref_excitation)
+    levcorr_test = jnp.where(louder_ref, test_excitation,
+                             test_excitation * lev_corr)
+    # (48); note the input terms are *not* scaled by (1-a);
+    # src/leveladapter.c:291-298
+    filt_num = iir.linear_recurrence(a, levcorr_test * levcorr_ref, axis=axis)
+    filt_den = iir.linear_recurrence(a, levcorr_ref * levcorr_ref, axis=axis)
+    num_ge = filt_num >= filt_den
+    pattadapt_ref = jnp.where(num_ge, 1.0, filt_num / filt_den)
+    pattadapt_test = jnp.where(num_ge, filt_den / filt_num, 1.0)
+    ra_ref = pattadapt_ref @ avg_matrix
+    ra_test = pattadapt_test @ avg_matrix
+    pattcorr_ref = iir.smoothing_filter(a, ra_ref, axis=axis)
+    pattcorr_test = iir.smoothing_filter(a, ra_test, axis=axis)
+    return levcorr_ref * pattcorr_ref, levcorr_test * pattcorr_test

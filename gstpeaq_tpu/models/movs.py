@@ -1,0 +1,171 @@
+"""Model-output-variable computation, vectorized over the frame axis.
+
+Each function maps the per-frame quantities produced by the ear models /
+preprocessors (frame axis leading) to per-frame MOV contributions; the
+masked-reduction accumulation lives in accum.py.  Reference: src/movs.c.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from .. import earparams as EP
+from ..ops import fft_ear as FE
+
+
+def modulation_difference(internal_noise: jnp.ndarray, mod_ref: jnp.ndarray,
+                          mod_test: jnp.ndarray, avg_loud_ref: jnp.ndarray,
+                          rms_mode: bool, lev_wt: float):
+    """ModDiff1/ModDiff2/TempWt per frame; src/movs.c:204-254.
+
+    mod_ref/mod_test/avg_loud_ref: [F, C, Z].
+    Returns (mod_diff_1b, mod_diff_2b, temp_wt), each [F, C].
+    """
+    band_count = mod_ref.shape[-1]
+    diff = jnp.abs(mod_ref - mod_test)
+    md1 = jnp.sum(diff / (1.0 + mod_ref), axis=-1)
+    w = jnp.where(mod_test >= mod_ref, 1.0, 0.1)
+    md2 = jnp.sum(w * diff / (0.01 + mod_ref), axis=-1)
+    temp_wt = jnp.sum(
+        avg_loud_ref / (avg_loud_ref + lev_wt * internal_noise ** 0.3),
+        axis=-1)
+    if rms_mode:
+        md1 = md1 * (100.0 / np.sqrt(band_count))
+    else:
+        md1 = md1 * (100.0 / band_count)
+    md2 = md2 * (100.0 / band_count)
+    return md1, md2, temp_wt
+
+
+def noise_loudness(internal_noise: jnp.ndarray, alpha: float,
+                   thres_fac: float, s0: float, nl_min: float,
+                   mod_ref: jnp.ndarray, mod_test: jnp.ndarray,
+                   e_ref: jnp.ndarray, e_test: jnp.ndarray) -> jnp.ndarray:
+    """Noise-loudness kernel, (66)-(68) of BS.1387; src/movs.c:708-743.
+    All band inputs [..., Z] -> [...]."""
+    band_count = mod_ref.shape[-1]
+    sref = thres_fac * mod_ref + s0
+    stest = thres_fac * mod_test + s0
+    beta = jnp.exp(-alpha * (e_test - e_ref) / e_ref)
+    nl = jnp.sum(
+        (internal_noise / stest) ** 0.23
+        * ((1.0 + jnp.maximum(stest * e_test - sref * e_ref, 0.0)
+            / (internal_noise + sref * e_ref * beta)) ** 0.23 - 1.0),
+        axis=-1) * (24.0 / band_count)
+    return jnp.where(nl < nl_min, 0.0, nl)
+
+
+def bandwidth(ref_power: jnp.ndarray, test_power: jnp.ndarray):
+    """BandwidthRef/TestB per frame; src/movs.c:775-809.
+
+    ref/test_power: [..., 1025].
+    Returns (bw_ref, bw_test, valid) with valid = bw_ref > 346.
+    """
+    dtype = ref_power.dtype
+    zt = jnp.max(test_power[..., 921:1024], axis=-1, keepdims=True)
+    idx = jnp.arange(921)
+    # largest i in [1, 921] with ref_power[i-1] > 10*zt, else 0
+    mask_ref = ref_power[..., :921] > 10.0 * zt
+    bw_ref = jnp.max(jnp.where(mask_ref, idx + 1, 0), axis=-1)
+    mask_test = test_power[..., :921] >= C.FIVE_DB_POWER_FACTOR * zt
+    # largest i <= bw_ref with test_power[i-1] >= 5dB*zt, else 0
+    below = idx < bw_ref[..., None]
+    bw_test = jnp.max(jnp.where(mask_test & below, idx + 1, 0), axis=-1)
+    valid = bw_ref > 346
+    return (bw_ref.astype(dtype), bw_test.astype(dtype), valid)
+
+
+def nmr(group_matrix: jnp.ndarray, masking_difference: jnp.ndarray,
+        ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
+        ref_excitation: jnp.ndarray):
+    """NMR per frame + disturbed-frame flag; src/movs.c:970-1023.
+
+    ref/test_weighted: [..., 1025], ref_excitation: [..., Z].
+    Returns (nmr_mean, disturbed) with disturbed in {0., 1.}.
+    """
+    noise_spectrum = (ref_weighted - 2.0 * jnp.sqrt(ref_weighted * test_weighted)
+                      + test_weighted)
+    noise_in_bands = jnp.maximum(noise_spectrum @ group_matrix, 1e-12)
+    mask = ref_excitation / masking_difference
+    nmr_vec = noise_in_bands / mask
+    nmr_mean = jnp.mean(nmr_vec, axis=-1)
+    nmr_max = jnp.max(nmr_vec, axis=-1)
+    disturbed = jnp.where(nmr_max > C.ONE_POINT_FIVE_DB_POWER_FACTOR, 1.0, 0.0)
+    return nmr_mean, disturbed
+
+
+def prob_detect(e_ref: jnp.ndarray, e_test: jnp.ndarray,
+                use_floor: bool = False):
+    """Binaural detection probability and steps per frame;
+    src/movs.c:1223-1276.
+
+    e_ref/e_test: [F, C, Z] excitation patterns.
+    Returns (p_bin, steps_bin), each [F].
+    """
+    eref_db = 10.0 * jnp.log10(e_ref)
+    etest_db = 10.0 * jnp.log10(e_test)
+    l = 0.3 * jnp.maximum(eref_db, etest_db) + 0.7 * etest_db
+    cs = C.PD_S_COEFFS
+    l_safe = jnp.where(l > 0.0, l, 1.0)
+    s = jnp.where(
+        l > 0.0,
+        cs[0] * (cs[1] / l_safe) ** cs[2] + cs[3] * l_safe ** 4
+        + cs[4] * l_safe ** 3 - cs[5] * l_safe * l_safe + cs[6] * l_safe
+        - cs[7],
+        1e30)
+    e = eref_db - etest_db
+    b = jnp.where(eref_db > etest_db, 4.0, 6.0)
+    pc = 1.0 - 0.5 ** ((e / s) ** b)
+    int_e = jnp.floor(e) if use_floor else jnp.trunc(e)
+    qc = jnp.abs(int_e) / s
+    p_band = jnp.max(pc, axis=1)      # max over channels -> [F, Z]
+    q_band = jnp.max(qc, axis=1)
+    p_bin = 1.0 - jnp.prod(1.0 - p_band, axis=-1)
+    steps_bin = jnp.sum(q_band, axis=-1)
+    return p_bin, steps_bin
+
+
+def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
+        ref_thresh: jnp.ndarray, test_thresh: jnp.ndarray,
+        settings: C.Settings, dtype):
+    """Error harmonic structure per frame; src/movs.c:1345-1443.
+
+    ref/test_weighted: [F, C, 1025]; ref/test_thresh: [F, C] bool.
+    Returns (ehs_value [F, C], valid [F]).  The value is garbage (zeros by
+    construction of the NaN-proof max) on frames where valid is False; the
+    accumulator mask must apply `valid`.
+    """
+    n = C.MAXLAG
+    valid = jnp.any(ref_thresh | test_thresh, axis=-1)
+    rw = ref_weighted[..., :2 * n]
+    tw = test_weighted[..., :2 * n]
+    d = jnp.where((rw == 0.0) & (tw == 0.0), 0.0, jnp.log(tw / rw))
+    # c[i] = sum_{k<256} d[k] d[k+i], via frequency domain like the reference
+    f1 = jnp.fft.rfft(d, axis=-1)
+    d_head = jnp.concatenate([d[..., :n], jnp.zeros_like(d[..., :n])], axis=-1)
+    f2 = jnp.fft.rfft(d_head, axis=-1)
+    corr = jnp.fft.irfft(f1 * jnp.conj(f2), axis=-1)[..., :n]
+    d0 = corr[..., :1]
+    dsq = d * d
+    dk = d0 + jnp.concatenate(
+        [jnp.zeros_like(d0),
+         jnp.cumsum(dsq[..., n:2 * n - 1] - dsq[..., :n - 1], axis=-1)],
+        axis=-1)
+    cnorm = corr / jnp.sqrt(d0 * dk)
+    window = jnp.asarray(
+        EP.ehs_correlation_window(settings.center_ehs_correlation_window),
+        dtype=dtype)
+    if settings.ehs_subtract_dc_before_window:
+        cwin = (cnorm - jnp.mean(cnorm, axis=-1, keepdims=True)) * window
+    else:
+        cwin = cnorm * window
+    cfft = jnp.fft.rfft(cwin, axis=-1)
+    power = jnp.real(cfft) ** 2 + jnp.imag(cfft) ** 2
+    if not settings.ehs_subtract_dc_before_window:
+        power = power.at[..., 0].set(0.0)
+    # max over bins exceeding their predecessor; NaN-proof: NaN > x is False
+    ascending = power[..., 1:] > power[..., :-1]
+    ehs_val = jnp.max(jnp.where(ascending, power[..., 1:], 0.0), axis=-1)
+    return 1000.0 * ehs_val, valid

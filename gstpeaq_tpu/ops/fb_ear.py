@@ -1,0 +1,209 @@
+"""Filter-bank ear model (advanced PEAQ), TPU-first.
+
+The reference walks sample by sample through a ring buffer with a per-band
+FIR evaluation every 32nd sample (src/fbearmodel.c:275-435) — the hottest
+loop in its advanced path.  Here:
+
+* the DC-rejection biquad cascade becomes two log-depth associative scans on
+  the 2x2 companion form (no per-sample loop);
+* the 40-band complex FIR bank becomes one strided convolution
+  (stride 32, kernel 1456, 80 output channels) — an implicit GEMM that XLA
+  maps onto the MXU without materializing sliding windows;
+* the level-dependent frequency spreading becomes a per-instant [40, 40]
+  matrix contraction, with the slope-filter state as an associative scan;
+* backward masking is a static gather + FIR; forward masking a scan.
+
+The reference's ring-buffer aliasing quirk (the lag-1456 tap reads the newest
+sample, see earparams/numpy_ref) is preserved by folding that coefficient
+into lag 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from .. import earparams as EP
+from . import iir
+
+
+@dataclasses.dataclass(frozen=True)
+class FBEarConsts:
+    h_folded: Any          # [80, 1456] rows = 40 re + 40 im, lag-reversed
+    back_mask: Any         # [11]
+    internal_noise: Any
+    ear_a: Any
+    adapt_a: Any
+    fc: Any
+    lower_matrix: Any      # [40, 40] CL^(j-k) for j >= k (row j -> col k)
+    level_factor: Any
+    threshold: Any
+    excitation_threshold: Any
+    loudness_factor: Any
+    band_count: int
+
+
+def build_consts(params: EP.FBEarParams, dtype=jnp.float64) -> FBEarConsts:
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    # fold aliased lag-1456 tap into lag 0, then reverse lags for conv
+    h_re = params.h_re[:, :C.FB_BUFFER_LENGTH].copy()
+    h_im = params.h_im[:, :C.FB_BUFFER_LENGTH].copy()
+    h_re[:, 0] += params.h_re[:, C.FB_BUFFER_LENGTH]
+    h_im[:, 0] += params.h_im[:, C.FB_BUFFER_LENGTH]
+    h = np.concatenate([h_re, h_im], axis=0)          # [80, 1456] lag order
+    h_rev = h[:, ::-1].copy()                          # conv kernel layout
+    Z = C.FB_BAND_COUNT
+    idx = np.arange(Z)
+    expo = idx[:, None] - idx[None, :]                 # [j, k] -> j - k
+    lower = np.where(expo >= 0, C.CL ** np.maximum(expo, 0), 0.0)
+    return FBEarConsts(
+        h_folded=f(h_rev),
+        back_mask=f(params.back_mask),
+        internal_noise=f(params.internal_noise),
+        ear_a=f(params.ear_time_constants),
+        adapt_a=f(params.adapt_time_constants),
+        fc=f(params.fc),
+        lower_matrix=f(lower),
+        level_factor=f(params.level_factor),
+        threshold=f(params.threshold),
+        excitation_threshold=f(params.excitation_threshold),
+        loudness_factor=f(params.loudness_factor),
+        band_count=Z,
+    )
+
+
+def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray) -> jnp.ndarray:
+    """Solve y_t = a1 y_{t-1} + a2 y_{t-2} + v_t along the last axis with
+    zero initial state, via an associative scan on the companion form
+    s_t = A s_{t-1} + [v_t, 0], A = [[a1, a2], [1, 0]] (unrolled 2x2)."""
+    dtype = v.dtype
+    shape = v.shape
+
+    def combine(l, r):
+        l11, l12, l21, l22, lb1, lb2 = l
+        r11, r12, r21, r22, rb1, rb2 = r
+        # M = R @ L
+        m11 = r11 * l11 + r12 * l21
+        m12 = r11 * l12 + r12 * l22
+        m21 = r21 * l11 + r22 * l21
+        m22 = r21 * l12 + r22 * l22
+        # b = R @ lb + rb
+        b1 = r11 * lb1 + r12 * lb2 + rb1
+        b2 = r21 * lb1 + r22 * lb2 + rb2
+        return m11, m12, m21, m22, b1, b2
+
+    ones = jnp.ones(shape, dtype)
+    a1m = jnp.full(shape, a1, dtype)
+    a2m = jnp.full(shape, a2, dtype)
+    zeros = jnp.zeros(shape, dtype)
+    elems = (a1m, a2m, ones, zeros, v, zeros)
+    out = jax.lax.associative_scan(combine, elems, axis=-1)
+    return out[4]  # b1 component = y_t
+
+
+def dc_reject(x: jnp.ndarray) -> jnp.ndarray:
+    """DC-rejection cascade; src/fbearmodel.c:291-303.  x: [..., T]."""
+    # feedforward (1 - 2 z^-1 + z^-2) with zero history
+    def ff(u):
+        u1 = jnp.concatenate([jnp.zeros_like(u[..., :1]), u[..., :-1]], -1)
+        u2 = jnp.concatenate([jnp.zeros_like(u[..., :2]), u[..., :-2]], -1)
+        return u - 2.0 * u1 + u2
+
+    y1 = _biquad_feedback(C.HP1_A[0], C.HP1_A[1], ff(x))
+    y2 = _biquad_feedback(C.HP2_A[0], C.HP2_A[1], ff(y1))
+    return y2
+
+
+def filter_bank(k: FBEarConsts, hp2: jnp.ndarray):
+    """Strided complex FIR bank; src/fbearmodel.c:398-435.
+
+    hp2: [..., T] DC-filtered signal (T divisible by 32).  Output evaluated
+    at every 32nd sample: fb(t)[band] = sum_lag h[band, lag] x[t-lag].
+    Returns (re, im): [..., I, 40] with I = T / 32.
+    """
+    dtype = hp2.dtype
+    lead = hp2.shape[:-1]
+    t = hp2.shape[-1]
+    x = hp2.reshape(-1, 1, t)
+    # left-pad with the 1455-sample zero history so out[i] covers x[32i-lag]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (C.FB_BUFFER_LENGTH - 1, 0)))
+    kernel = k.h_folded[:, None, :]  # [O=80, I=1, W=1456]
+    out = jax.lax.conv_general_dilated(
+        xp, kernel, window_strides=(C.FB_SUBSAMPLING,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=dtype)
+    out = jnp.moveaxis(out, -1, -2)  # [N, I, 80]
+    out = out.reshape(*lead, out.shape[-2], 80)
+    return out[..., :40], out[..., 40:]
+
+
+def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray):
+    """Level-dependent frequency spreading per subsampled instant;
+    src/fbearmodel.c:326-354.  fb_re/fb_im: [..., I, 40], instants axis -2.
+    Returns E0 = |A|^2: [..., I, 40]."""
+    level = 10.0 * jnp.log10(fb_re * fb_re + fb_im * fb_im)
+    s = jnp.maximum(4.0, 24.0 + 230.0 / k.fc - 0.2 * level)
+    dist_s = C.DIST ** s
+    a = 1.0 - C.SLOPE_FILTER_A
+    cu = iir.linear_recurrence(
+        jnp.full_like(dist_s, a), C.SLOPE_FILTER_A * dist_s, axis=-2)
+    # upper spreading U[i, j] = cu[i]^(j-i) for j > i, 1 for j = i
+    Z = k.band_count
+    idx = jnp.arange(Z)
+    expo = (idx[None, :] - idx[:, None]).astype(fb_re.dtype)  # j - i
+    log_cu = jnp.log(cu)
+    upper = jnp.exp(expo * log_cu[..., :, None])
+    eye = jnp.eye(Z, dtype=fb_re.dtype)
+    u = jnp.where(expo > 0, upper, eye)
+    a_re = jnp.einsum("...i,...ij->...j", fb_re, u)
+    a_im = jnp.einsum("...i,...ij->...j", fb_im, u)
+    # constant lower spreading: final[c] = sum_{j>=c} CL^(j-c) A[j]
+    a_re = jnp.einsum("...j,...jc->...c", a_re, k.lower_matrix)
+    a_im = jnp.einsum("...j,...jc->...c", a_im, k.lower_matrix)
+    return a_re * a_re + a_im * a_im
+
+
+def back_and_forward_masking(k: FBEarConsts, e0: jnp.ndarray,
+                             n_frames: int):
+    """Backward-masking FIR at frame boundaries + internal noise + forward
+    masking IIR; src/fbearmodel.c:362-395.
+
+    e0: [..., I, 40] with I = 6 * n_frames (instants axis second-to-last,
+    frame axis must end up leading for the scan).
+    Returns (excitation, unsmeared): [..., F, 40].
+    """
+    pad = [(0, 0)] * (e0.ndim - 2) + [(10, 0), (0, 0)]
+    e0p = jnp.pad(e0, pad)
+    ipf = C.FB_FRAMESIZE // C.FB_SUBSAMPLING  # 6
+    e1 = None
+    for i in range(11):
+        start = 15 - i
+        sl = e0p[..., start:start + ipf * (n_frames - 1) + 1:ipf, :]
+        term = k.back_mask[i] * sl
+        e1 = term if e1 is None else e1 + term
+    unsmeared = e1 + k.internal_noise
+    # forward masking: scan over the frame axis (axis -2)
+    excitation = iir.smoothing_filter(k.ear_a, unsmeared, axis=-2)
+    return excitation, unsmeared
+
+
+def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int):
+    """Whole-signal FB ear model.  signal: [..., T] with T = 192*n_frames.
+    Returns (excitation, unsmeared): [..., F, 40]."""
+    hp2 = dc_reject(signal * k.level_factor)
+    fb_re, fb_im = filter_bank(k, hp2)
+    e0 = spread(k, fb_re, fb_im)
+    return back_and_forward_masking(k, e0, n_frames)
+
+
+def loudness(k: FBEarConsts, excitation: jnp.ndarray) -> jnp.ndarray:
+    """Overall loudness; src/earmodel.c:890-907."""
+    val = k.loudness_factor * (
+        (1.0 - k.threshold
+         + k.threshold * excitation / k.excitation_threshold) ** 0.23 - 1.0)
+    return jnp.sum(jnp.maximum(val, 0.0), axis=-1) * (24.0 / k.band_count)

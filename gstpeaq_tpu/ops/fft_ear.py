@@ -1,0 +1,146 @@
+"""FFT-based ear model, TPU-first.
+
+The reference processes one frame at a time inside a GStreamer chain
+(src/fftearmodel.c:432-515). Here the whole stateless part — Hann window,
+real FFT, playback-level scaling, outer/middle-ear weighting, critical-band
+grouping (a dense [1025, Z] matmul, MXU-friendly), internal noise, frequency
+spreading — runs batched over an arbitrary number of leading axes (frames,
+channels, signals, pairs). The only stateful part, time-domain smearing, is a
+first-order recurrence solved with an associative scan over the frame axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from .. import earparams as EP
+from . import iir
+
+
+@dataclasses.dataclass(frozen=True)
+class FFTEarConsts:
+    """Device-resident constants of the FFT ear model (a pytree of arrays)."""
+
+    hann: Any
+    om_weight: Any
+    level_factor: Any
+    group_matrix: Any
+    internal_noise: Any
+    a_uc_log: Any          # log(a_uc), for the spreading matrix exponentials
+    a_uc: Any
+    g_il: Any
+    lower_matrix: Any      # static [Z, Z] lower-spreading weights aLe^(i-j)
+    spread_norm: Any
+    delta_z: Any
+    ear_a: Any             # time-smearing coefficients
+    adapt_a: Any
+    masking_difference: Any
+    threshold: Any
+    excitation_threshold: Any
+    loudness_factor: Any
+    band_count: int
+
+
+def build_consts(params: EP.FFTEarParams, dtype=jnp.float64) -> FFTEarConsts:
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    Z = params.band_count
+    idx = np.arange(Z)
+    expo = idx[None, :] - idx[:, None]  # [i, j] -> j - i
+    aLe = params.lower_spreading_exponentiated
+    lower = np.where(expo <= 0, aLe ** np.maximum(-expo, 0), 0.0)
+    return FFTEarConsts(
+        hann=f(params.hann_window),
+        om_weight=f(params.outer_middle_ear_weight),
+        level_factor=f(params.level_factor),
+        group_matrix=f(params.group_matrix),
+        internal_noise=f(params.internal_noise),
+        a_uc_log=f(np.log(params.a_uc)),
+        a_uc=f(params.a_uc),
+        g_il=f(params.g_il),
+        lower_matrix=f(lower),
+        spread_norm=f(params.spreading_normalization),
+        delta_z=f(params.delta_z),
+        ear_a=f(params.ear_time_constants),
+        adapt_a=f(params.adapt_time_constants),
+        masking_difference=f(params.masking_difference),
+        threshold=f(params.threshold),
+        excitation_threshold=f(params.excitation_threshold),
+        loudness_factor=f(params.loudness_factor),
+        band_count=Z,
+    )
+
+
+def group_into_bands(k: FFTEarConsts, spectrum: jnp.ndarray) -> jnp.ndarray:
+    """Critical-band grouping with the 1e-12 floor;
+    src/fftearmodel.c:603-620.  spectrum: [..., 1025] -> [..., Z]."""
+    return jnp.maximum(spectrum @ k.group_matrix, 1e-12)
+
+
+def spread(k: FFTEarConsts, pitch_power: jnp.ndarray) -> jnp.ndarray:
+    """Level-dependent frequency spreading; src/fftearmodel.c:636-676.
+
+    Instead of the reference's two directional recursions (O(Z^2) serial),
+    the combined spreading weight matrix
+        W[i, j] = aUCEe[i]^(j-i)  for j > i   (level-dependent upper slope)
+        W[i, j] = aLe^(i-j)       for j <= i  (constant lower slope)
+    is materialized per frame and applied as one matvec:
+        E2[j] = sum_i Ene[i] * W[i, j];  out = E2^(1/0.4) / norm.
+    pitch_power: [..., Z].
+    """
+    Z = k.band_count
+    dz = k.delta_z
+    a_uce = k.a_uc * pitch_power ** (0.2 * dz)
+    n_up = Z - jnp.arange(Z, dtype=pitch_power.dtype)
+    g_iu = (1.0 - a_uce ** n_up) / (1.0 - a_uce)
+    en = pitch_power / (k.g_il + g_iu - 1.0)
+    ene = en ** 0.4
+    log_a_ucee = 0.4 * jnp.log(a_uce)  # log(aUCEe)
+    idx = jnp.arange(Z)
+    expo = (idx[None, :] - idx[:, None]).astype(pitch_power.dtype)  # j - i
+    upper = jnp.exp(expo * log_a_ucee[..., :, None])
+    w = jnp.where(expo > 0, upper, k.lower_matrix)
+    e2 = jnp.einsum("...i,...ij->...j", ene, w)
+    return e2 ** 2.5 / k.spread_norm
+
+
+def stateless(k: FFTEarConsts, frames: jnp.ndarray):
+    """Window + FFT + level + ear weight + grouping + noise + spreading.
+
+    frames: [..., 2048] (any leading axes).  Returns
+    (power_spectrum, weighted_power_spectrum, unsmeared_excitation,
+     energy_threshold_reached).
+    """
+    dtype = k.hann.dtype
+    x = frames.astype(dtype)
+    windowed = x * k.hann
+    spec = jnp.fft.rfft(windowed)
+    power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * k.level_factor
+    weighted = power * k.om_weight
+    band_power = group_into_bands(k, weighted)
+    unsmeared = spread(k, band_power + k.internal_noise)
+    energy = jnp.sum(x[..., C.FFT_FRAMESIZE // 2:] ** 2, axis=-1)
+    threshold_reached = energy >= C.EHS_ENERGY_THRESHOLD
+    return power, weighted, unsmeared, threshold_reached
+
+
+def time_smear(k: FFTEarConsts, unsmeared: jnp.ndarray,
+               axis: int = 0) -> jnp.ndarray:
+    """Time-domain smearing E = max(filtered, unsmeared);
+    src/fftearmodel.c:496-504.  The filtered state is a linear recurrence
+    solved in log-depth; the max is elementwise."""
+    filtered = iir.smoothing_filter(k.ear_a, unsmeared, axis=axis)
+    return jnp.maximum(filtered, unsmeared)
+
+
+def loudness(k: FFTEarConsts, excitation: jnp.ndarray) -> jnp.ndarray:
+    """Overall loudness per frame; src/earmodel.c:890-907.
+    excitation: [..., Z] -> [...]."""
+    val = k.loudness_factor * (
+        (1.0 - k.threshold
+         + k.threshold * excitation / k.excitation_threshold) ** 0.23 - 1.0)
+    return jnp.sum(jnp.maximum(val, 0.0), axis=-1) * (24.0 / k.band_count)

@@ -1,0 +1,77 @@
+"""Framing and the data-boundary threshold test.
+
+Framing is done *inside* jit from padded signals via reshape (no gather, no
+materialized overlap until the windowing matmul), matching the GstAdapter
+drain semantics (src/gstpeaq.c:596-611) with the final zero-padded flush
+frame (src/gstpeaq.c:715-745) supplied by host-side padding.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+
+
+def num_frames(n_ref: int, n_test: int, frame_size: int, step_size: int) -> int:
+    """Frame count under GstAdapter semantics: full frames while both
+    signals have one, plus one zero-padded flush frame if either has
+    leftover; src/gstpeaq.c:596-611,715-745."""
+    n = min(n_ref, n_test)
+    full = max(0, (n - frame_size) // step_size + 1) if n >= frame_size else 0
+    consumed = full * step_size
+    leftover = max(n_ref, n_test) - consumed
+    return full + (1 if leftover > 0 else 0)
+
+
+def padded_length(n_frames: int, frame_size: int, step_size: int) -> int:
+    """Signal length needed to extract n_frames frames."""
+    return (n_frames - 1) * step_size + frame_size if n_frames else 0
+
+
+def pad_signal(sig: np.ndarray, n_frames: int, frame_size: int,
+               step_size: int) -> np.ndarray:
+    """Host-side: zero-pad/truncate [T, C] signal for n_frames frames."""
+    length = padded_length(n_frames, frame_size, step_size)
+    out = np.zeros((length, sig.shape[1]), dtype=sig.dtype)
+    take = min(length, sig.shape[0])
+    out[:take] = sig[:take]
+    return out
+
+
+def frames_overlap50(sig: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """[T, C] -> [F, C, 2048] frames with 50% overlap (FFT ear model).
+    T must equal (n_frames + 1) * 1024."""
+    hop = C.FFT_STEPSIZE
+    t, ch = sig.shape
+    blocks = sig[:(n_frames + 1) * hop].reshape(n_frames + 1, hop, ch)
+    frames = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)  # [F,2048,C]
+    return jnp.moveaxis(frames, 2, 1)
+
+
+def frames_disjoint(sig: jnp.ndarray, n_frames: int,
+                    frame_size: int) -> jnp.ndarray:
+    """[T, C] -> [F, C, frame_size] non-overlapping frames (FB ear model)."""
+    t, ch = sig.shape
+    blocks = sig[:n_frames * frame_size].reshape(n_frames, frame_size, ch)
+    return jnp.moveaxis(blocks, 2, 1)
+
+
+def above_threshold(frames: jnp.ndarray) -> jnp.ndarray:
+    """Data-boundary test; src/gstpeaq.c:1080-1099.
+
+    frames: [F, C, frame_size] (reference-signal frames).  A frame is above
+    threshold when any 5-sample window [i-4..i] for i >= 5 in any channel has
+    sum |x| >= 200/32768.  (The reference accumulates the running sum in
+    float32; we evaluate exact sliding sums in the working dtype — identical
+    decisions except for sub-1e-4-relative borderline cases.)
+
+    Returns bool [F].
+    """
+    ax = jnp.abs(frames)
+    cs = jnp.cumsum(ax, axis=-1)
+    # window sum ending at i (i >= 4): cs[i] - cs[i-5]
+    wsum = cs[..., 5:] - cs[..., :-5]
+    hit = jnp.any(wsum >= C.FRAME_THRESHOLD, axis=(-1, -2))
+    return hit

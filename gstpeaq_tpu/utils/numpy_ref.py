@@ -683,18 +683,19 @@ def calculate_odg(di: float) -> float:
 
 
 def is_frame_above_threshold(frame: np.ndarray) -> bool:
-    """5-sample sliding |x| sum test on interleaved f32 data;
-    src/gstpeaq.c:1080-1099.  frame is [frame_size, channels] float32."""
-    data = np.asarray(frame, dtype=np.float32)
+    """5-sample sliding |x| sum test; src/gstpeaq.c:1080-1099.
+
+    frame is [frame_size, channels].  The reference checks the running sum of
+    windows [i-4..i] for i >= 5 (accumulated in float32); we evaluate exact
+    sliding sums in float64 — identical decisions except for borderline cases
+    below 1e-4 relative of the threshold.
+    """
+    data = np.abs(np.asarray(frame, dtype=np.float64))
     if data.ndim == 1:
         data = data[:, None]
-    for c in range(data.shape[1]):
-        s = np.float32(np.abs(data[:5, c]).sum(dtype=np.float32))
-        for i in range(5, data.shape[0]):
-            s = np.float32(s + np.abs(data[i, c]) - np.abs(data[i - 5, c]))
-            if s >= np.float32(C.FRAME_THRESHOLD):
-                return True
-    return False
+    cs = np.cumsum(data, axis=0)
+    wsum = cs[5:] - cs[:-5]
+    return bool((wsum >= C.FRAME_THRESHOLD).any())
 
 
 @dataclasses.dataclass

@@ -1,12 +1,13 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh with x64.
 
-Must set XLA flags before JAX initializes a backend, hence the early import
-order here.
+The environment pre-registers an 'axon' TPU backend via sitecustomize before
+test code runs, so JAX_PLATFORMS env vars are ineffective; we switch the
+platform through jax.config at runtime instead (works because backends
+initialize lazily).  XLA_FLAGS must also be set before first backend use.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +15,5 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,116 @@
+"""JAX pipeline vs the NumPy spec implementation (and reference goldens).
+
+The NumPy implementation in gstpeaq_tpu.utils.numpy_ref is itself gated
+against the C reference's golden vectors and pinned ODGs (test_numpy_ref);
+here the vectorized/scanned JAX pipeline is held to near-machine agreement
+with that spec.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gstpeaq_tpu import api
+from gstpeaq_tpu import constants as C
+from gstpeaq_tpu import earparams as EP
+from gstpeaq_tpu.ops import fb_ear as FB
+from gstpeaq_tpu.ops import fft_ear as FE
+from gstpeaq_tpu.utils import numpy_ref as R
+from gstpeaq_tpu.utils import testsignals as TS
+
+
+def rel_err(got, want):
+    got = np.asarray(got)
+    want = np.asarray(want)
+    return np.max(np.abs(got - want) / (np.abs(want) + 1e-300))
+
+
+def test_fft_ear_matches_spec():
+    p = EP.fft_ear_params(109)
+    k = FE.build_consts(p)
+    rng = np.random.default_rng(1)
+    f1 = np.zeros(2048, dtype=np.float32)
+    f1[:1024] = -1
+    f1[1025:] = 1
+    frames = np.stack([f1] + [
+        rng.standard_normal(2048).astype(np.float32) * 0.1 for _ in range(5)])
+    power, weighted, unsmeared, thr = FE.stateless(k, jnp.asarray(frames))
+    exc = FE.time_smear(k, unsmeared, axis=0)
+    st = R.FFTEarState(109)
+    for i in range(len(frames)):
+        R.fft_ear_process_block(p, st, frames[i])
+        assert rel_err(power[i], st.power_spectrum) < 1e-9
+        assert rel_err(weighted[i], st.weighted_power_spectrum) < 1e-9
+        assert rel_err(unsmeared[i], st.unsmeared_excitation) < 1e-9
+        assert rel_err(exc[i], st.excitation) < 1e-9
+        assert bool(thr[i]) == st.energy_threshold_reached
+
+
+def test_fb_ear_matches_spec():
+    p = EP.fb_ear_params()
+    k = FB.build_consts(p)
+    rng = np.random.default_rng(3)
+    n_frames = 9
+    x = (rng.standard_normal(192 * n_frames) * 0.3).astype(np.float32)
+    exc_np, uns_np = R.fb_process_signal(p, x)
+    exc, uns = FB.process_signal(k, jnp.asarray(x, jnp.float64), n_frames)
+    assert rel_err(exc, exc_np) < 1e-7
+    assert rel_err(uns, uns_np) < 1e-7
+
+
+def test_fb_loudness_golden():
+    k = FB.build_consts(EP.fb_ear_params())
+    scale = 10 ** ((40 - 92) / 20)
+    sig = (scale * np.sin(2 * np.pi * 1000 / 48000 * np.arange(250 * 192)))
+    exc, _ = FB.process_signal(k, jnp.asarray(sig, jnp.float64), 250)
+    loud = float(FB.loudness(k, exc[-1]))
+    assert 1.03 < loud < 1.04
+
+
+def test_basic_pipeline_matches_spec_noisy():
+    rng = np.random.default_rng(7)
+    n = 30 * 1024
+    ref = (0.5 * TS.sine(n, 440)
+           + 0.05 * rng.standard_normal(n).astype(np.float32))
+    test = ref + 0.02 * rng.standard_normal(n).astype(np.float32)
+    ref[-6000:] = 0
+    test[-6000:] = 0
+    want = R.peaq_basic(ref, test)
+    got = api.peaq(ref, test)
+    for name in C.MOV_BASIC_NAMES:
+        w, g = want.movs[name], got.movs[name]
+        if np.isnan(w):
+            assert np.isnan(g), name
+        else:
+            assert abs(g - w) <= 1e-8 * (1 + abs(w)), (name, g, w)
+
+
+@pytest.mark.slow
+def test_basic_pipeline_pinned_odgs():
+    n = 128 * 1024
+    s = TS.sine(n)
+    assert f"{api.peaq(s, s).odg:.3f}" == "0.171"
+    res = api.peaq(TS.saw(n), TS.triangle(n))
+    assert f"{res.odg:.3f}" == "-2.007"
+
+
+@pytest.mark.slow
+def test_advanced_pipeline_matches_spec():
+    n = 64 * 1024
+    sa, tr = TS.saw(n), TS.triangle(n)
+    want = R.peaq_advanced(sa, tr)
+    got = api.peaq(sa, tr, advanced=True)
+    for name in C.MOV_ADVANCED_NAMES:
+        w, g = want.movs[name], got.movs[name]
+        assert abs(g - w) <= 1e-7 * (1 + abs(w)), (name, g, w)
+    assert abs(got.odg - want.odg) < 1e-9
+
+
+def test_stereo_channel_averaging():
+    n = 30 * 1024
+    sa, tr = TS.saw(n), TS.triangle(n)
+    mono = api.peaq(sa, tr)
+    stereo = api.peaq(np.stack([sa, sa], 1), np.stack([tr, tr], 1))
+    # duplicated channels must give the same ODG as mono
+    assert abs(mono.odg - stereo.odg) < 1e-9
