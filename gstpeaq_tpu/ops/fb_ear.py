@@ -79,31 +79,29 @@ def build_consts(params: EP.FBEarParams, dtype=jnp.float64) -> FBEarConsts:
 
 def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray) -> jnp.ndarray:
     """Solve y_t = a1 y_{t-1} + a2 y_{t-2} + v_t along the last axis with
-    zero initial state, via an associative scan on the companion form
-    s_t = A s_{t-1} + [v_t, 0], A = [[a1, a2], [1, 0]] (unrolled 2x2)."""
+    zero initial state.
+
+    Numerics: the 2x2 companion-form scan cancels catastrophically in f32
+    for poles near the unit circle (the DC filter's poles sit at r~0.9988),
+    so the recurrence is diagonalized into a complex-conjugate pair of
+    first-order recurrences (partial fractions): y = 2 Re(g * u),
+    u_t = lambda * u_{t-1} + v_t.  Complex magnitudes multiply cleanly, so
+    the associative scan stays accurate to ~eps * log T.
+    """
     dtype = v.dtype
-    shape = v.shape
-
-    def combine(l, r):
-        l11, l12, l21, l22, lb1, lb2 = l
-        r11, r12, r21, r22, rb1, rb2 = r
-        # M = R @ L
-        m11 = r11 * l11 + r12 * l21
-        m12 = r11 * l12 + r12 * l22
-        m21 = r21 * l11 + r22 * l21
-        m22 = r21 * l12 + r22 * l22
-        # b = R @ lb + rb
-        b1 = r11 * lb1 + r12 * lb2 + rb1
-        b2 = r21 * lb1 + r22 * lb2 + rb2
-        return m11, m12, m21, m22, b1, b2
-
-    ones = jnp.ones(shape, dtype)
-    a1m = jnp.full(shape, a1, dtype)
-    a2m = jnp.full(shape, a2, dtype)
-    zeros = jnp.zeros(shape, dtype)
-    elems = (a1m, a2m, ones, zeros, v, zeros)
-    out = jax.lax.associative_scan(combine, elems, axis=-1)
-    return out[4]  # b1 component = y_t
+    cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    disc = np.sqrt(complex(a1 * a1 + 4.0 * a2))
+    lam_p = (a1 + disc) / 2.0
+    lam_m = (a1 - disc) / 2.0
+    g_p = lam_p / (lam_p - lam_m)
+    g_m = lam_m / (lam_m - lam_p)
+    vc = v.astype(cdtype)
+    u_p = iir.linear_recurrence(
+        jnp.broadcast_to(jnp.asarray(lam_p, cdtype), v.shape), vc, axis=-1)
+    u_m = iir.linear_recurrence(
+        jnp.broadcast_to(jnp.asarray(lam_m, cdtype), v.shape), vc, axis=-1)
+    y = (jnp.asarray(g_p, cdtype) * u_p + jnp.asarray(g_m, cdtype) * u_m)
+    return jnp.real(y).astype(dtype)
 
 
 def dc_reject(x: jnp.ndarray) -> jnp.ndarray:
