@@ -1,0 +1,110 @@
+"""Benchmark harness: PEAQ throughput on the current accelerator.
+
+Prints ONE JSON line:
+  {"metric": "audio-seconds/sec/chip (basic PEAQ, batch 64)",
+   "value": N, "unit": "audio-sec/s", "vs_baseline": N / 6400}
+
+Baseline normalization: the BASELINE.json north star asks for >=100x
+realtime per pair at batch 64 on one chip = 6400 audio-seconds/sec/chip
+(the C reference publishes no throughput numbers).  Detail lines (advanced
+mode, per-pair realtime factors) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_pairs(batch: int, seconds: float, channels: int = 2,
+               seed: int = 0) -> tuple[list, list]:
+    rng = np.random.default_rng(seed)
+    n = int(seconds * 48000)
+    t = np.arange(n, dtype=np.float64) / 48000.0
+    refs, tests = [], []
+    for i in range(batch):
+        f0 = 180.0 + 37.0 * (i % 11)
+        ref = np.zeros(n)
+        test = np.zeros(n)
+        k = 1
+        while k * f0 < 15000.0:
+            tone = np.sin(2 * np.pi * k * f0 * t + 0.3 * k) / k
+            ref += tone
+            if k * f0 < 10000.0:  # codec-like lowpass on the test signal
+                test += tone
+            k += 1
+        ref *= 0.5
+        test = 0.5 * test + 1e-4 * rng.standard_normal(n)
+        refs.append(np.stack([ref] * channels, 1).astype(np.float32))
+        tests.append(np.stack([test] * channels, 1).astype(np.float32))
+    return refs, tests
+
+
+def bench(advanced: bool, batch: int, seconds: float, dtype: str,
+          iters: int = 5, microbatch: int = 8) -> float:
+    import jax
+    from gstpeaq_tpu import constants as C
+    from gstpeaq_tpu.parallel import batch as B
+
+    refs, tests = make_pairs(batch, seconds)
+    arrays = B.prepare_batch(refs, tests, advanced)
+    mb = min(microbatch, batch)
+    chunks = [[jax.device_put(a[s:s + mb]) for a in arrays]
+              for s in range(0, batch, mb)]
+    if advanced:
+        fn = B._jitted_advanced_batch(92.0, C.DEFAULT_SETTINGS, dtype)
+    else:
+        fn = B._jitted_basic_batch(92.0, C.DEFAULT_SETTINGS, dtype)
+    fn(*chunks[0]).odg.block_until_ready()  # compile + warm up
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        outs = [fn(*ch) for ch in chunks]
+        outs[-1].odg.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return batch * seconds / best
+
+
+def main() -> None:
+    import jax
+
+    # persistent compile cache: the TPU backend's first compile of the big
+    # batched program is minutes; warm runs load from disk in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    dtype = "float32" if on_tpu else "float64"
+    batch = 64
+    seconds = 10.0
+    if not on_tpu:  # keep CI/CPU runs quick
+        batch, seconds = 8, 2.0
+
+    basic_rate = bench(False, batch, seconds, dtype)
+    print(f"# device={dev.device_kind} dtype={dtype} batch={batch} "
+          f"len={seconds}s", file=sys.stderr)
+    print(f"# basic: {basic_rate:.0f} audio-sec/s "
+          f"({basic_rate / batch:.0f}x realtime/pair)", file=sys.stderr)
+    try:
+        adv_rate = bench(True, batch, seconds, dtype, iters=3)
+        print(f"# advanced: {adv_rate:.0f} audio-sec/s "
+              f"({adv_rate / batch:.0f}x realtime/pair)", file=sys.stderr)
+    except Exception as exc:  # pragma: no cover
+        print(f"# advanced bench failed: {exc}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "audio-seconds/sec/chip (basic PEAQ, batch 64)",
+        "value": round(basic_rate, 1),
+        "unit": "audio-sec/s",
+        "vs_baseline": round(basic_rate / 6400.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,12 +50,17 @@ def make_pipeline(playback_level: float = 92.0,
     avg_matrix = jnp.asarray(
         level_adapt.sliding_average_matrix(C.FB_BAND_COUNT), dtype=dtype)
 
-    def pipeline(ref_fft, test_fft, ref_fb, test_fb) -> AdvancedOutputs:
+    def pipeline(ref_fft, test_fft, ref_fb, test_fb,
+                 valid_fft=None, valid_fb=None) -> AdvancedOutputs:
         # ------------------ FFT path: SegmentalNMR + EHS ------------------
         n_fft = ref_fft.shape[0] // C.FFT_STEPSIZE - 1
         rframes = framing.frames_overlap50(ref_fft, n_fft)   # [F,CH,2048]
         tframes = framing.frames_overlap50(test_fft, n_fft)
         above_fft = framing.above_threshold(rframes.astype(dtype))
+        fft_frame_valid = None
+        if valid_fft is not None:
+            fft_frame_valid = jnp.arange(n_fft) < valid_fft
+            above_fft = above_fft & fft_frame_valid
         _, _, committed_fft = accum.activity(above_fft)
 
         both = jnp.stack([rframes, tframes])
@@ -76,6 +81,8 @@ def make_pipeline(playback_level: float = 92.0,
         n_fb = ref_fb.shape[0] // C.FB_FRAMESIZE
         rfb_frames = framing.frames_disjoint(ref_fb, n_fb, C.FB_FRAMESIZE)
         above_fb = framing.above_threshold(rfb_frames.astype(dtype))
+        if valid_fb is not None:
+            above_fb = above_fb & (jnp.arange(n_fb) < valid_fb)
         _, _, committed_fb = accum.activity(above_fb)
 
         # [CH, T] signals for the filter bank
@@ -89,11 +96,11 @@ def make_pipeline(playback_level: float = 92.0,
         test_e = jnp.moveaxis(test_e, -2, 0)
         test_u = jnp.moveaxis(test_u, -2, 0)
 
-        adapted_ref, adapted_test = level_adapt.level_adapt(
+        adapted_ref, adapted_test, _ = level_adapt.level_adapt(
             kb.adapt_a, avg_matrix, ref_e, test_e)
-        mod_ref, avg_loud_ref = modproc.modulation(
+        mod_ref, avg_loud_ref, _ = modproc.modulation(
             kb.adapt_a, ref_u, C.FB_FRAMESIZE)
-        mod_test, _ = modproc.modulation(kb.adapt_a, test_u, C.FB_FRAMESIZE)
+        mod_test, _, _ = modproc.modulation(kb.adapt_a, test_u, C.FB_FRAMESIZE)
 
         loud_ref = FB.loudness(kb, ref_e)
         loud_test = FB.loudness(kb, test_e)
@@ -147,9 +154,14 @@ def make_pipeline(playback_level: float = 92.0,
         odg = nn.odg(di)
 
         half = C.FFT_FRAMESIZE // 2
-        rsum = jnp.sum(rframes[..., :half].astype(dtype) ** 2)
-        nsum = jnp.sum((rframes[..., :half].astype(dtype)
-                        - tframes[..., :half].astype(dtype)) ** 2)
+        rhalf = rframes[..., :half].astype(dtype)
+        nhalf = rhalf - tframes[..., :half].astype(dtype)
+        if fft_frame_valid is not None:
+            sel = fft_frame_valid[:, None, None]
+            rhalf = jnp.where(sel, rhalf, 0.0)
+            nhalf = jnp.where(sel, nhalf, 0.0)
+        rsum = jnp.sum(rhalf ** 2)
+        nsum = jnp.sum(nhalf ** 2)
         return AdvancedOutputs(odg=odg, di=di, movs=mov_vec,
                                total_signal_energy=rsum,
                                total_noise_energy=nsum)

@@ -55,13 +55,21 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
     avg_matrix = jnp.asarray(
         level_adapt.sliding_average_matrix(band_count), dtype=dtype)
 
-    def pipeline(ref_sig: jnp.ndarray, test_sig: jnp.ndarray) -> BasicOutputs:
+    def pipeline(ref_sig: jnp.ndarray, test_sig: jnp.ndarray,
+                 valid_frames=None) -> BasicOutputs:
         n_frames = ref_sig.shape[0] // C.FFT_STEPSIZE - 1
         ref_frames = framing.frames_overlap50(ref_sig, n_frames)   # [F,CH,2048]
         test_frames = framing.frames_overlap50(test_sig, n_frames)
         channels = ref_frames.shape[1]
 
         above = framing.above_threshold(ref_frames.astype(dtype))  # [F]
+        frame_valid = None
+        if valid_frames is not None:
+            # bucketed batching: frames past a pair's own flush frame can
+            # still overlap real audio (50% overlap) — exclude them exactly
+            # as the reference does by never processing them
+            frame_valid = jnp.arange(n_frames) < valid_frames
+            above = above & frame_valid
         has, active, committed = accum.activity(above)
 
         # ---- stage A: stateless ear model on both signals ----
@@ -74,11 +82,11 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         exc = FE.time_smear(k, jnp.moveaxis(unsmeared, 1, 0), axis=0)
         exc = jnp.moveaxis(exc, 0, 1)          # [2,F,CH,Z]
         ref_e, test_e = exc[0], exc[1]
-        adapted_ref, adapted_test = level_adapt.level_adapt(
+        adapted_ref, adapted_test, _ = level_adapt.level_adapt(
             k.adapt_a, avg_matrix, ref_e, test_e)
-        mod_ref, avg_loud_ref = modproc.modulation(
+        mod_ref, avg_loud_ref, _ = modproc.modulation(
             k.adapt_a, unsmeared[0], C.FFT_STEPSIZE)
-        mod_test, _ = modproc.modulation(
+        mod_test, _, _ = modproc.modulation(
             k.adapt_a, unsmeared[1], C.FFT_STEPSIZE)
 
         # loudness gate; src/gstpeaq.c:841-845,880-886
@@ -135,9 +143,14 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
 
         # totalsnr bookkeeping; src/gstpeaq.c:913-918
         half = C.FFT_FRAMESIZE // 2
-        rsum = jnp.sum(ref_frames[..., :half].astype(dtype) ** 2)
-        nsum = jnp.sum((ref_frames[..., :half].astype(dtype)
-                        - test_frames[..., :half].astype(dtype)) ** 2)
+        rhalf = ref_frames[..., :half].astype(dtype)
+        nhalf = rhalf - test_frames[..., :half].astype(dtype)
+        if frame_valid is not None:
+            sel = frame_valid[:, None, None]
+            rhalf = jnp.where(sel, rhalf, 0.0)
+            nhalf = jnp.where(sel, nhalf, 0.0)
+        rsum = jnp.sum(rhalf ** 2)
+        nsum = jnp.sum(nhalf ** 2)
         return BasicOutputs(odg=odg, di=di, movs=mov_vec,
                             total_signal_energy=rsum,
                             total_noise_energy=nsum)

@@ -35,16 +35,19 @@ def sliding_average_matrix(band_count: int) -> np.ndarray:
 
 def level_adapt(a: jnp.ndarray, avg_matrix: jnp.ndarray,
                 ref_excitation: jnp.ndarray, test_excitation: jnp.ndarray,
-                axis: int = 0):
+                axis: int = 0, state=None):
     """Process all frames at once.
 
     a:                [Z] smoothing coefficients (tau 0.008/0.05)
     avg_matrix:       [Z, Z] from sliding_average_matrix
     ref/test_excitation: [F, ..., Z]
-    Returns (adapted_ref, adapted_test), each [F, ..., Z].
+    `state` carries the six per-band IIR states for chunked streaming
+    (ref_filt, test_filt, filt_num, filt_den, pattcorr_ref, pattcorr_test).
+    Returns (adapted_ref, adapted_test, new_state), each [F, ..., Z].
     """
-    ref_filt = iir.smoothing_filter(a, ref_excitation, axis=axis)
-    test_filt = iir.smoothing_filter(a, test_excitation, axis=axis)
+    s = state if state is not None else (None,) * 6
+    ref_filt = iir.smoothing_filter(a, ref_excitation, axis=axis, y0=s[0])
+    test_filt = iir.smoothing_filter(a, test_excitation, axis=axis, y0=s[1])
     # (45) in BS.1387; src/leveladapter.c:260-277
     num = jnp.sum(jnp.sqrt(ref_filt * test_filt), axis=-1)
     den = jnp.sum(test_filt, axis=-1)
@@ -56,13 +59,18 @@ def level_adapt(a: jnp.ndarray, avg_matrix: jnp.ndarray,
                              test_excitation * lev_corr)
     # (48); note the input terms are *not* scaled by (1-a);
     # src/leveladapter.c:291-298
-    filt_num = iir.linear_recurrence(a, levcorr_test * levcorr_ref, axis=axis)
-    filt_den = iir.linear_recurrence(a, levcorr_ref * levcorr_ref, axis=axis)
+    filt_num = iir.linear_recurrence(a, levcorr_test * levcorr_ref,
+                                     axis=axis, y0=s[2])
+    filt_den = iir.linear_recurrence(a, levcorr_ref * levcorr_ref,
+                                     axis=axis, y0=s[3])
     num_ge = filt_num >= filt_den
     pattadapt_ref = jnp.where(num_ge, 1.0, filt_num / filt_den)
     pattadapt_test = jnp.where(num_ge, filt_den / filt_num, 1.0)
     ra_ref = pattadapt_ref @ avg_matrix
     ra_test = pattadapt_test @ avg_matrix
-    pattcorr_ref = iir.smoothing_filter(a, ra_ref, axis=axis)
-    pattcorr_test = iir.smoothing_filter(a, ra_test, axis=axis)
-    return levcorr_ref * pattcorr_ref, levcorr_test * pattcorr_test
+    pattcorr_ref = iir.smoothing_filter(a, ra_ref, axis=axis, y0=s[4])
+    pattcorr_test = iir.smoothing_filter(a, ra_test, axis=axis, y0=s[5])
+    new_state = tuple(x[-1] for x in (
+        ref_filt, test_filt, filt_num, filt_den, pattcorr_ref, pattcorr_test))
+    return (levcorr_ref * pattcorr_ref, levcorr_test * pattcorr_test,
+            new_state)

@@ -13,14 +13,24 @@ from ..ops import iir
 
 
 def modulation(a: jnp.ndarray, unsmeared_excitation: jnp.ndarray,
-               step_size: int):
+               step_size: int, state=None):
     """unsmeared_excitation: [F, ..., Z] (frame axis leading) ->
-    (modulation, average_loudness)."""
+    (modulation, average_loudness, new_state).
+
+    `state` carries (previous_loudness, filtered_derivative,
+    filtered_loudness), each [..., Z], for chunked streaming; None = zeros.
+    """
     derivative_factor = C.SAMPLING_RATE / step_size
     loud = unsmeared_excitation ** 0.3
-    prev = jnp.concatenate([jnp.zeros_like(loud[:1]), loud[:-1]], axis=0)
+    if state is None:
+        prev0 = jnp.zeros_like(loud[0])
+        fd0 = fl0 = None
+    else:
+        prev0, fd0, fl0 = state
+    prev = jnp.concatenate([prev0[None], loud[:-1]], axis=0)
     deriv = derivative_factor * jnp.abs(loud - prev)
-    filt_deriv = iir.smoothing_filter(a, deriv, axis=0)
-    filt_loud = iir.smoothing_filter(a, loud, axis=0)
+    filt_deriv = iir.smoothing_filter(a, deriv, axis=0, y0=fd0)
+    filt_loud = iir.smoothing_filter(a, loud, axis=0, y0=fl0)
     mod = filt_deriv / (1.0 + filt_loud / 0.3)
-    return mod, filt_loud
+    new_state = (loud[-1], filt_deriv[-1], filt_loud[-1])
+    return mod, filt_loud, new_state

@@ -143,10 +143,10 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
     tw = test_weighted[..., :2 * n]
     d = jnp.where((rw == 0.0) & (tw == 0.0), 0.0, jnp.log(tw / rw))
     # c[i] = sum_{k<256} d[k] d[k+i], via frequency domain like the reference
-    f1 = jnp.fft.rfft(d, axis=-1)
+    f1 = FE.rfft_flat(d)
     d_head = jnp.concatenate([d[..., :n], jnp.zeros_like(d[..., :n])], axis=-1)
-    f2 = jnp.fft.rfft(d_head, axis=-1)
-    corr = jnp.fft.irfft(f1 * jnp.conj(f2), axis=-1)[..., :n]
+    f2 = FE.rfft_flat(d_head)
+    corr = FE.irfft_flat(f1 * jnp.conj(f2))[..., :n]
     d0 = corr[..., :1]
     dsq = d * d
     dk = d0 + jnp.concatenate(
@@ -161,7 +161,7 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
         cwin = (cnorm - jnp.mean(cnorm, axis=-1, keepdims=True)) * window
     else:
         cwin = cnorm * window
-    cfft = jnp.fft.rfft(cwin, axis=-1)
+    cfft = FE.rfft_flat(cwin)
     power = jnp.real(cfft) ** 2 + jnp.imag(cfft) ** 2
     if not settings.ehs_subtract_dc_before_window:
         power = power.at[..., 0].set(0.0)

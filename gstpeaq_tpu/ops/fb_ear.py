@@ -150,16 +150,23 @@ def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray):
     a = 1.0 - C.SLOPE_FILTER_A
     cu = iir.linear_recurrence(
         jnp.full_like(dist_s, a), C.SLOPE_FILTER_A * dist_s, axis=-2)
-    # upper spreading U[i, j] = cu[i]^(j-i) for j > i, 1 for j = i
+    # upper spreading U[i, j] = cu[i]^(j-i) for j > i (+ identity), applied
+    # in static destination-band blocks (unrolled; see fft_ear.spread for
+    # why neither lax.scan nor one big einsum is used)
     Z = k.band_count
-    idx = jnp.arange(Z)
-    expo = (idx[None, :] - idx[:, None]).astype(fb_re.dtype)  # j - i
-    log_cu = jnp.log(cu)
-    upper = jnp.exp(expo * log_cu[..., :, None])
-    eye = jnp.eye(Z, dtype=fb_re.dtype)
-    u = jnp.where(expo > 0, upper, eye)
-    a_re = jnp.einsum("...i,...ij->...j", fb_re, u)
-    a_im = jnp.einsum("...i,...ij->...j", fb_im, u)
+    dtype = fb_re.dtype
+    block = 8
+    i_idx = jnp.arange(Z, dtype=dtype)
+    log_cu = jnp.log(cu)[..., None]  # [..., Z, 1]
+    ups_re, ups_im = [], []
+    for jb in range(0, Z, block):
+        j = jnp.arange(jb, min(jb + block, Z), dtype=dtype)
+        expo = j - i_idx[:, None]                        # [Z, block]
+        w = jnp.where(expo > 0, jnp.exp(expo * log_cu), 0.0)
+        ups_re.append(jnp.sum(fb_re[..., None] * w, axis=-2))
+        ups_im.append(jnp.sum(fb_im[..., None] * w, axis=-2))
+    a_re = fb_re + jnp.concatenate(ups_re, axis=-1)
+    a_im = fb_im + jnp.concatenate(ups_im, axis=-1)
     # constant lower spreading: final[c] = sum_{j>=c} CL^(j-c) A[j]
     a_re = jnp.einsum("...j,...jc->...c", a_re, k.lower_matrix)
     a_im = jnp.einsum("...j,...jc->...c", a_im, k.lower_matrix)

@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,36 +76,73 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64) -> FFTEarConsts:
     )
 
 
+def rfft_flat(x: jnp.ndarray) -> jnp.ndarray:
+    """rfft over the last axis with leading dims flattened to one batch dim.
+
+    The TPU backend compiles N-d-batched FFTs pathologically slowly (minutes
+    for 5-d inputs vs seconds for 2-d); the flatten/unflatten is free.
+    """
+    shape = x.shape
+    out = jnp.fft.rfft(x.reshape(-1, shape[-1]))
+    return out.reshape(*shape[:-1], shape[-1] // 2 + 1)
+
+
+def irfft_flat(x: jnp.ndarray) -> jnp.ndarray:
+    """irfft over the last axis with leading dims flattened (see rfft_flat)."""
+    shape = x.shape
+    n = 2 * (shape[-1] - 1)
+    out = jnp.fft.irfft(x.reshape(-1, shape[-1]))
+    return out.reshape(*shape[:-1], n)
+
+
 def group_into_bands(k: FFTEarConsts, spectrum: jnp.ndarray) -> jnp.ndarray:
     """Critical-band grouping with the 1e-12 floor;
     src/fftearmodel.c:603-620.  spectrum: [..., 1025] -> [..., Z]."""
     return jnp.maximum(spectrum @ k.group_matrix, 1e-12)
 
 
-def spread(k: FFTEarConsts, pitch_power: jnp.ndarray) -> jnp.ndarray:
+def spread(k: FFTEarConsts, pitch_power: jnp.ndarray,
+           block: int = 16) -> jnp.ndarray:
     """Level-dependent frequency spreading; src/fftearmodel.c:636-676.
 
-    Instead of the reference's two directional recursions (O(Z^2) serial),
-    the combined spreading weight matrix
+    Combined spreading weights
         W[i, j] = aUCEe[i]^(j-i)  for j > i   (level-dependent upper slope)
         W[i, j] = aLe^(i-j)       for j <= i  (constant lower slope)
-    is materialized per frame and applied as one matvec:
-        E2[j] = sum_i Ene[i] * W[i, j];  out = E2^(1/0.4) / norm.
-    pitch_power: [..., Z].
+    applied as E2[j] = sum_i Ene[i] * W[i, j]; out = E2^(1/0.4) / norm.
+
+    The constant lower part is one static [Z, Z] matmul (MXU).  The
+    level-dependent upper part is evaluated in destination-band blocks under
+    a lax.scan so only a [..., Z, block] slab of W is ever materialized
+    (the full per-frame [.., Z, Z] tensor would be O(frames * Z^2) memory —
+    terabytes for large batches).  pitch_power: [..., Z].
     """
     Z = k.band_count
     dz = k.delta_z
+    dtype = pitch_power.dtype
     a_uce = k.a_uc * pitch_power ** (0.2 * dz)
-    n_up = Z - jnp.arange(Z, dtype=pitch_power.dtype)
+    n_up = Z - jnp.arange(Z, dtype=dtype)
     g_iu = (1.0 - a_uce ** n_up) / (1.0 - a_uce)
     en = pitch_power / (k.g_il + g_iu - 1.0)
     ene = en ** 0.4
-    log_a_ucee = 0.4 * jnp.log(a_uce)  # log(aUCEe)
-    idx = jnp.arange(Z)
-    expo = (idx[None, :] - idx[:, None]).astype(pitch_power.dtype)  # j - i
-    upper = jnp.exp(expo * log_a_ucee[..., :, None])
-    w = jnp.where(expo > 0, upper, k.lower_matrix)
-    e2 = jnp.einsum("...i,...ij->...j", ene, w)
+    log_a_ucee = 0.4 * jnp.log(a_uce)  # [..., Z]
+
+    # lower (constant) part, j <= i, includes the diagonal
+    e2 = ene @ k.lower_matrix
+
+    # upper (level-dependent) part, j > i, in static blocks of destination
+    # bands (an unrolled Python loop: lax.scan here compiles pathologically
+    # on the TPU backend, and a single [.., Z, Z] einsum both over-allocates
+    # and lowers poorly)
+    i_idx = jnp.arange(Z, dtype=dtype)
+    ene_w = ene[..., None]          # [..., Z, 1]
+    log_a = log_a_ucee[..., None]   # [..., Z, 1]
+    chunks = []
+    for jb in range(0, Z, block):
+        j = jnp.arange(jb, min(jb + block, Z), dtype=dtype)
+        expo = j - i_idx[:, None]                         # [Z, <=block]
+        w = jnp.where(expo > 0, jnp.exp(expo * log_a), 0.0)
+        chunks.append(jnp.sum(ene_w * w, axis=-2))        # [..., <=block]
+    e2 = e2 + jnp.concatenate(chunks, axis=-1)
     return e2 ** 2.5 / k.spread_norm
 
 
@@ -118,7 +156,7 @@ def stateless(k: FFTEarConsts, frames: jnp.ndarray):
     dtype = k.hann.dtype
     x = frames.astype(dtype)
     windowed = x * k.hann
-    spec = jnp.fft.rfft(windowed)
+    spec = rfft_flat(windowed)
     power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * k.level_factor
     weighted = power * k.om_weight
     band_power = group_into_bands(k, weighted)
@@ -128,13 +166,17 @@ def stateless(k: FFTEarConsts, frames: jnp.ndarray):
     return power, weighted, unsmeared, threshold_reached
 
 
-def time_smear(k: FFTEarConsts, unsmeared: jnp.ndarray,
-               axis: int = 0) -> jnp.ndarray:
+def time_smear(k: FFTEarConsts, unsmeared: jnp.ndarray, axis: int = 0,
+               state=None, return_state: bool = False):
     """Time-domain smearing E = max(filtered, unsmeared);
     src/fftearmodel.c:496-504.  The filtered state is a linear recurrence
-    solved in log-depth; the max is elementwise."""
-    filtered = iir.smoothing_filter(k.ear_a, unsmeared, axis=axis)
-    return jnp.maximum(filtered, unsmeared)
+    solved in log-depth; the max is elementwise.  `state` carries the
+    filtered excitation across chunks (streaming)."""
+    filtered = iir.smoothing_filter(k.ear_a, unsmeared, axis=axis, y0=state)
+    out = jnp.maximum(filtered, unsmeared)
+    if return_state:
+        return out, jnp.take(filtered, -1, axis=axis)
+    return out
 
 
 def loudness(k: FFTEarConsts, excitation: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,133 @@
+"""Batched PEAQ over many pairs (single device): vmap + length bucketing.
+
+Pairs are zero-padded to a shared frame count per bucket; the accumulator
+tentative semantics mask trailing padding frames automatically (accum.py),
+so padding changes nothing — no per-pair masks needed.  Bucket frame counts
+are rounded up to a coarse grid to bound the number of compiled programs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import numpy as np
+
+from .. import constants as C
+from ..ops import framing
+
+
+def bucket_frames(n_frames: int, granularity: int = 64) -> int:
+    """Round a frame count up to the bucket grid."""
+    return max(granularity,
+               -(-n_frames // granularity) * granularity)
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_basic_batch(playback_level: float, settings: C.Settings,
+                        dtype_name: str):
+    import jax
+    import jax.numpy as jnp
+    from ..models import basic
+    pipe = basic.make_pipeline(
+        C.BASIC_BAND_COUNT, playback_level, settings, jnp.dtype(dtype_name))
+    return jax.jit(jax.vmap(pipe))
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_advanced_batch(playback_level: float, settings: C.Settings,
+                           dtype_name: str):
+    import jax
+    import jax.numpy as jnp
+    from ..models import advanced
+    pipe = advanced.make_pipeline(playback_level, settings,
+                                  jnp.dtype(dtype_name))
+    return jax.jit(jax.vmap(pipe))
+
+
+def _pad_pairwise(refs, tests, n_bucket, frame_size, step_size):
+    """Truncate each pair at its *own* flush-frame boundary (audio past the
+    flush frame is dropped by the reference, src/gstpeaq.c:715-745), then
+    zero-extend to the bucket frame count — the padding frames are silent and
+    thus auto-masked by the tentative accumulator semantics."""
+    length = framing.padded_length(n_bucket, frame_size, step_size)
+
+    def prep(sig, own_frames):
+        own = framing.pad_signal(sig, own_frames, frame_size, step_size)
+        out = np.zeros((length, sig.shape[1]), dtype=np.float32)
+        out[:own.shape[0]] = own
+        return out
+
+    out_r, out_t, valids = [], [], []
+    for r, t in zip(refs, tests):
+        n_own = framing.num_frames(r.shape[0], t.shape[0], frame_size,
+                                   step_size)
+        out_r.append(prep(r, n_own))
+        out_t.append(prep(t, n_own))
+        valids.append(n_own)
+    return (np.stack(out_r), np.stack(out_t),
+            np.asarray(valids, dtype=np.int32))
+
+
+def prepare_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
+                  advanced: bool = False, granularity: int = 64):
+    """Pad a list of [T, C] float32 pairs into stacked batch arrays.
+
+    Returns (ref_fft, test_fft[, ref_fb, test_fb]) stacked [B, T, C]."""
+    n_fft = max(framing.num_frames(r.shape[0], t.shape[0],
+                                   C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+                for r, t in zip(refs, tests))
+    n_fft = bucket_frames(n_fft, granularity)
+    ref_fft, test_fft, valid_fft = _pad_pairwise(
+        refs, tests, n_fft, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+    if not advanced:
+        return ref_fft, test_fft, valid_fft
+    n_fb = max(framing.num_frames(r.shape[0], t.shape[0],
+                                  C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+               for r, t in zip(refs, tests))
+    n_fb = bucket_frames(n_fb, granularity * 6)
+    ref_fb, test_fb, valid_fb = _pad_pairwise(
+        refs, tests, n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+    return ref_fft, test_fft, ref_fb, test_fb, valid_fft, valid_fb
+
+
+def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
+               advanced: bool = False, playback_level: float = 92.0,
+               settings: C.Settings = C.DEFAULT_SETTINGS,
+               dtype: str | None = None, granularity: int = 64,
+               microbatch: int = 8):
+    """Compute ODG/DI for a batch of pairs on the current default device.
+
+    refs/tests: sequences of [T] or [T, C] float arrays (48 kHz).  The batch
+    is processed in `microbatch`-sized device invocations to bound HBM
+    footprint (activations scale with pairs x frames); the last chunk is
+    padded with duplicates (discarded).
+    Returns dict with 'odg' [B], 'di' [B], 'movs' [B, M] numpy arrays.
+    """
+    from .. import api
+    refs = [api._as_2d_f32(r) for r in refs]
+    tests = [api._as_2d_f32(t) for t in tests]
+    dtype = dtype or api.default_dtype()
+    arrays = prepare_batch(refs, tests, advanced, granularity)
+    if advanced:
+        fn = _jitted_advanced_batch(playback_level, settings, dtype)
+    else:
+        fn = _jitted_basic_batch(playback_level, settings, dtype)
+    n = len(refs)
+    mb = min(microbatch, n) if microbatch else n
+    odg, di, movs = [], [], []
+    for start in range(0, n, mb):
+        chunk = [a[start:start + mb] for a in arrays]
+        pad = mb - chunk[0].shape[0]
+        if pad:
+            chunk = [np.concatenate([c, c[-1:].repeat(pad, 0)]) for c in chunk]
+        out = fn(*chunk)
+        take = mb - pad
+        odg.append(np.asarray(out.odg)[:take])
+        di.append(np.asarray(out.di)[:take])
+        movs.append(np.asarray(out.movs)[:take])
+    return {
+        "odg": np.concatenate(odg),
+        "di": np.concatenate(di),
+        "movs": np.concatenate(movs),
+    }

@@ -1,0 +1,129 @@
+"""Multi-chip sharding: codec-eval sweeps over a jax.sharding.Mesh.
+
+PEAQ pairs are embarrassingly parallel, so the sweep is pure data
+parallelism: the pair axis is sharded over the mesh's 'pairs' axis and XLA
+runs each shard's vmapped pipeline locally — no collectives in the metric
+path (they would only ride ICI for the final gather).  The cognitive-model
+training step shards its example batch the same way with psum'd gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import numpy as np
+
+from .. import constants as C
+
+PAIR_AXIS = "pairs"
+
+
+def default_mesh(devices=None):
+    import jax
+    from jax.sharding import Mesh
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (PAIR_AXIS,))
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_sharded(advanced: bool, playback_level: float,
+                    settings: C.Settings, dtype_name: str, mesh_key: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = _MESHES[mesh_key]
+    if advanced:
+        from ..models import advanced as mod
+        pipe = mod.make_pipeline(playback_level, settings,
+                                 jnp.dtype(dtype_name))
+    else:
+        from ..models import basic as mod
+        pipe = mod.make_pipeline(C.BASIC_BAND_COUNT, playback_level, settings,
+                                 jnp.dtype(dtype_name))
+    batched = jax.vmap(pipe)
+    data_sharding = NamedSharding(mesh, P(PAIR_AXIS))
+    return jax.jit(batched, in_shardings=data_sharding,
+                   out_shardings=NamedSharding(mesh, P(PAIR_AXIS)))
+
+
+_MESHES: dict[int, object] = {}
+
+
+def peaq_sharded(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
+                 mesh=None, advanced: bool = False,
+                 playback_level: float = 92.0,
+                 settings: C.Settings = C.DEFAULT_SETTINGS,
+                 dtype: str | None = None, granularity: int = 64):
+    """Batched ODG sharded across all devices of `mesh` (default: all).
+
+    The pair count is padded to a multiple of the mesh size with dummy pairs
+    (results discarded).  Returns dict of numpy arrays like peaq_batch.
+    """
+    from .. import api
+    from . import batch as B
+    mesh = mesh if mesh is not None else default_mesh()
+    n_dev = mesh.devices.size
+    refs = [api._as_2d_f32(r) for r in refs]
+    tests = [api._as_2d_f32(t) for t in tests]
+    n = len(refs)
+    pad = (-n) % n_dev
+    if pad:
+        refs = list(refs) + [refs[-1]] * pad
+        tests = list(tests) + [tests[-1]] * pad
+    dtype = dtype or api.default_dtype()
+    arrays = B.prepare_batch(refs, tests, advanced, granularity)
+    key = id(mesh)
+    _MESHES[key] = mesh
+    fn = _jitted_sharded(advanced, playback_level, settings, dtype, key)
+    out = fn(*arrays)
+    return {
+        "odg": np.asarray(out.odg)[:n],
+        "di": np.asarray(out.di)[:n],
+        "movs": np.asarray(out.movs)[:n],
+    }
+
+
+def train_cognitive_sharded(movs: np.ndarray, target_di: np.ndarray,
+                            mesh=None, advanced: bool = False,
+                            steps: int = 100, lr: float = 1e-2):
+    """Refit the MOV->DI cognitive model with data-parallel SGD on a mesh.
+
+    movs: [N, M]; target_di: [N].  The example axis is sharded over the mesh;
+    gradients are psum-reduced across devices (jax.lax.pmean under shard_map).
+    Returns (params, losses).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from ..models import nn
+
+    mesh = mesh if mesh is not None else default_mesh()
+    n_dev = mesh.devices.size
+    n = movs.shape[0]
+    pad = (-n) % n_dev
+    if pad:
+        movs = np.concatenate([movs, movs[:pad]], axis=0)
+        target_di = np.concatenate([target_di, target_di[:pad]], axis=0)
+    params = nn.init_cognitive_params(advanced)
+
+    data_spec = P(PAIR_AXIS)
+    rep = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(rep, data_spec, data_spec),
+        out_specs=(rep, rep), check_rep=False)
+    def step(params, movs_shard, target_shard):
+        return nn.sgd_train_step(params, movs_shard, target_shard, lr,
+                                 axis_name=PAIR_AXIS)
+
+    step = jax.jit(step)
+    movs_j = jnp.asarray(movs)
+    tgt_j = jnp.asarray(target_di)
+    losses = []
+    for _ in range(steps):
+        params, loss = step(params, movs_j, tgt_j)
+        losses.append(float(loss))
+    return params, losses

@@ -1,0 +1,346 @@
+"""Chunked streaming PEAQ for long programs (hours) with carried state.
+
+The reference is inherently streaming: GStreamer pushes buffers and all
+model state lives in per-component structs (src/gstpeaq.c:596-661).  Here the
+equivalent is an explicit device-side state pytree carried between fixed-size
+chunk invocations of a jitted step function: O(1) memory in program length,
+checkpointable (the state is a pytree of arrays — orbax-serializable), and
+the ODG is queryable at any prefix, matching the element's live `odg`
+property (src/gstpeaq.c:475-503).
+
+Accumulator streaming semantics (INIT/tentative, src/movaccum.c:304-354) are
+kept exact with three carried aggregates per MOV:
+    s_all       — sums over all accumulated frames so far
+    s_committed — sums as of the most recent above-threshold frame
+    has_above   — whether any above-threshold frame occurred yet
+get_value() reads s_committed (== s_all whenever the stream is currently
+in an above-threshold region), which reproduces the snapshot behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import numpy as np
+
+from .. import constants as C
+
+
+# ---------------------------------------------------------------------------
+# Device-side chunk step (basic version)
+# ---------------------------------------------------------------------------
+
+
+def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
+                           dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import earparams as EP
+    from ..models import accum, level_adapt, movs as MOVS, modulation as MP
+    from ..ops import fft_ear as FE, framing
+
+    params = EP.fft_ear_params(C.BASIC_BAND_COUNT, playback_level)
+    k = FE.build_consts(params, dtype=dtype)
+    avg_matrix = jnp.asarray(
+        level_adapt.sliding_average_matrix(C.BASIC_BAND_COUNT), dtype=dtype)
+
+    def init_state(channels: int):
+        z = C.BASIC_BAND_COUNT
+        f = lambda *s: jnp.zeros(s, dtype)
+        mov_sums = {name: {"all": f(channels), "committed": f(channels),
+                           "all_den": f(channels), "committed_den": f(channels)}
+                    for name in C.MOV_BASIC_NAMES}
+        for name in ("ADBB", "MFPDB"):
+            mov_sums[name] = {kk: f(1) for kk in
+                              ("all", "committed", "all_den", "committed_den")}
+        mov_sums["RmsNoiseLoudB 2nd"] = None  # unused in basic
+        del mov_sums["RmsNoiseLoudB 2nd"]
+        return {
+            "smear": f(2, channels, z),
+            "la": tuple(f(channels, z) for _ in range(6)),
+            "mod": tuple((f(channels, z),) * 3 for _ in range(2)),
+            "sums": mov_sums,
+            "mfpd_filt": f(1),
+            "mfpd_max_all": f(1),
+            "mfpd_max_committed": f(1),
+            "win_sqrts": f(channels, 3),
+            "win_calls": jnp.zeros((), jnp.int32),
+            "has_above": jnp.zeros((), bool),
+            "frame_offset": jnp.zeros((), jnp.int32),
+            "lrf": jnp.full((), np.iinfo(np.int32).max, jnp.int32),
+            "signal_energy": f(),
+            "noise_energy": f(),
+        }
+
+    def chunk_step(state, ref_sig, test_sig):
+        """Process one chunk.  ref/test_sig: [(Fc+1)*1024, CH] float32."""
+        n_frames = ref_sig.shape[0] // C.FFT_STEPSIZE - 1
+        ref_frames = framing.frames_overlap50(ref_sig, n_frames)
+        test_frames = framing.frames_overlap50(test_sig, n_frames)
+        above = framing.above_threshold(ref_frames.astype(dtype))  # [Fc]
+
+        both = jnp.stack([ref_frames, test_frames])
+        power, weighted, unsmeared, thresh = FE.stateless(k, both)
+        exc, smear_new = FE.time_smear(
+            k, jnp.moveaxis(unsmeared, 1, 0), axis=0,
+            state=state["smear"], return_state=True)
+        exc = jnp.moveaxis(exc, 0, 1)
+        ref_e, test_e = exc[0], exc[1]
+        adapted_ref, adapted_test, la_new = level_adapt.level_adapt(
+            k.adapt_a, avg_matrix, ref_e, test_e, state=state["la"])
+        mod_ref, avg_loud_ref, mod_ref_new = MP.modulation(
+            k.adapt_a, unsmeared[0], C.FFT_STEPSIZE, state=state["mod"][0])
+        mod_test, _, mod_test_new = MP.modulation(
+            k.adapt_a, unsmeared[1], C.FFT_STEPSIZE, state=state["mod"][1])
+
+        f_glob = state["frame_offset"] + jnp.arange(n_frames)
+        loud_ref = FE.loudness(k, ref_e)
+        loud_test = FE.loudness(k, test_e)
+        loud_ok = jnp.any((loud_ref > 0.1) & (loud_test > 0.1), axis=-1)
+        lrf = jnp.minimum(state["lrf"], jnp.where(
+            jnp.any(loud_ok), f_glob[jnp.argmax(loud_ok)],
+            np.iinfo(np.int32).max).astype(jnp.int32))
+        md_gate = f_glob >= 24
+        nl_gate = md_gate & (f_glob - 3 >= lrf)
+
+        md1, md2, temp_wt = MOVS.modulation_difference(
+            k.internal_noise, mod_ref, mod_test, avg_loud_ref,
+            rms_mode=False, lev_wt=100.0)
+        nl = MOVS.noise_loudness(
+            k.internal_noise, 1.5, 0.15, 0.5, 0.0, mod_ref, mod_test,
+            adapted_ref, adapted_test)
+        bw_ref, bw_test, bw_valid = MOVS.bandwidth(power[0], power[1])
+        nmr_mean, disturbed = MOVS.nmr(
+            k.group_matrix, k.masking_difference, weighted[0], weighted[1],
+            ref_e)
+        p_bin, steps_bin = MOVS.prob_detect(
+            ref_e, test_e, settings.use_floor_for_steps_above_threshold)
+        ehs_val, ehs_valid = MOVS.ehs(
+            weighted[0], weighted[1], thresh[0], thresh[1], settings, dtype)
+
+        # --- streaming accumulation ---
+        has_prev = state["has_above"]
+        became = jnp.cumsum(above.astype(jnp.int32)) > 0
+        active = has_prev | became               # [Fc]
+        any_above = jnp.any(above)
+        t_last = n_frames - 1 - jnp.argmax(above[::-1])  # valid iff any_above
+
+        def upd(entry, num_c, den_c, gate):
+            m = (active & gate)[:, None] if num_c.ndim == 2 \
+                else (active & gate)
+            num_c = jnp.where(m, num_c, 0.0)
+            den_c = jnp.where(m, den_c, 0.0)
+            pn = jnp.cumsum(num_c, axis=0)
+            pd = jnp.cumsum(den_c, axis=0)
+            new_all = entry["all"] + pn[-1]
+            new_all_den = entry["all_den"] + pd[-1]
+            new_comm = jnp.where(any_above, entry["all"] + pn[t_last],
+                                 entry["committed"])
+            new_comm_den = jnp.where(any_above,
+                                     entry["all_den"] + pd[t_last],
+                                     entry["committed_den"])
+            return {"all": new_all, "committed": new_comm,
+                    "all_den": new_all_den, "committed_den": new_comm_den}
+
+        sums = dict(state["sums"])
+        one = jnp.ones_like(md1)
+        tgate = jnp.ones_like(above)
+        sums["BandwidthRefB"] = upd(sums["BandwidthRefB"], bw_ref * bw_valid,
+                                    bw_valid.astype(dtype), tgate)
+        sums["BandwidthTestB"] = upd(sums["BandwidthTestB"],
+                                     bw_test * bw_valid,
+                                     bw_valid.astype(dtype), tgate)
+        sums["TotalNMRB"] = upd(sums["TotalNMRB"], nmr_mean, one, tgate)
+        sums["AvgModDiff1B"] = upd(sums["AvgModDiff1B"], md1 * temp_wt,
+                                   temp_wt, md_gate)
+        sums["AvgModDiff2B"] = upd(sums["AvgModDiff2B"], md2 * temp_wt,
+                                   temp_wt, md_gate)
+        sums["RmsNoiseLoudB"] = upd(sums["RmsNoiseLoudB"], nl * nl,
+                                    one, nl_gate)
+        sums["RelDistFramesB"] = upd(sums["RelDistFramesB"], disturbed, one,
+                                     tgate)
+        sums["EHSB"] = upd(sums["EHSB"],
+                           jnp.where(ehs_valid[:, None], ehs_val, 0.0),
+                           ehs_valid.astype(dtype)[:, None] * one, tgate)
+        adb_gate = p_bin > 0.5
+        sums["ADBB"] = upd(sums["ADBB"], steps_bin[:, None],
+                           jnp.ones((n_frames, 1), dtype), adb_gate)
+
+        # MFPD: masked IIR + running max with snapshot at t_last
+        called = active  # accumulate() runs on every non-INIT frame
+        a_f = jnp.where(called, 0.9, 1.0)[:, None]
+        b_f = jnp.where(called, 0.1 * p_bin, 0.0)[:, None]
+        from ..ops import iir
+        filt = iir.linear_recurrence(a_f, b_f, axis=0,
+                                     y0=state["mfpd_filt"])
+        runmax = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(called[:, None], filt, -jnp.inf), axis=0)
+        runmax = jnp.maximum(runmax, state["mfpd_max_all"])
+        mfpd_max_all = runmax[-1]
+        mfpd_max_committed = jnp.where(any_above, runmax[t_last],
+                                       state["mfpd_max_committed"])
+
+        # WinModDiff: sliding 4-window over *called* frames (contiguous)
+        win_called = active & md_gate
+        sq = jnp.sqrt(jnp.where(win_called[:, None], md1, 0.0))
+        ext = jnp.concatenate([jnp.moveaxis(state["win_sqrts"], 1, 0), sq], 0)
+        wsum = (ext[3:] + ext[2:-1] + ext[1:-2] + ext[:-3]) / 4.0
+        contrib = wsum ** 4
+        call_idx = (state["win_calls"]
+                    + jnp.cumsum(win_called.astype(jnp.int32)) - 1)
+        full = win_called & (call_idx >= 3)
+        sums["WinModDiff1B"] = upd(sums["WinModDiff1B"], contrib, one, full)
+        win_calls_new = state["win_calls"] + jnp.sum(
+            win_called.astype(jnp.int32))
+        # carry last 3 sqrt values of the extended sequence
+        win_sqrts_new = jnp.moveaxis(ext[-3:], 0, 1)
+
+        half = C.FFT_FRAMESIZE // 2
+        rhalf = ref_frames[..., :half].astype(dtype)
+        nhalf = rhalf - test_frames[..., :half].astype(dtype)
+
+        new_state = {
+            "smear": smear_new,
+            "la": la_new,
+            "mod": (mod_ref_new, mod_test_new),
+            "sums": sums,
+            "mfpd_filt": filt[-1],
+            "mfpd_max_all": mfpd_max_all,
+            "mfpd_max_committed": mfpd_max_committed,
+            "win_sqrts": win_sqrts_new,
+            "win_calls": win_calls_new,
+            "has_above": has_prev | any_above,
+            "frame_offset": state["frame_offset"] + n_frames,
+            "lrf": lrf,
+            "signal_energy": state["signal_energy"] + jnp.sum(rhalf ** 2),
+            "noise_energy": state["noise_energy"] + jnp.sum(nhalf ** 2),
+        }
+        return new_state
+
+    def read_movs(state):
+        """MOVs / DI / ODG from the current stream state (any prefix)."""
+        from ..models import nn
+        sums = state["sums"]
+
+        def frac(name):
+            return (sums[name]["committed"], sums[name]["committed_den"])
+
+        vals = {}
+        for name in ("BandwidthRefB", "BandwidthTestB", "AvgModDiff1B",
+                     "AvgModDiff2B", "RelDistFramesB", "EHSB"):
+            n_, d_ = frac(name)
+            vals[name] = jnp.mean(n_ / d_)
+        n_, d_ = frac("TotalNMRB")
+        vals["TotalNMRB"] = jnp.mean(10.0 * jnp.log10(n_ / d_))
+        for name in ("RmsNoiseLoudB", "WinModDiff1B"):
+            n_, d_ = frac(name)
+            vals[name] = jnp.mean(jnp.sqrt(n_ / d_))
+        n_, d_ = frac("ADBB")
+        vals["ADBB"] = jnp.where(
+            d_[0] > 0,
+            jnp.where(n_[0] == 0.0, -0.5,
+                      jnp.log10(jnp.maximum(n_[0], 1e-300) / d_[0])),
+            0.0)
+        vals["MFPDB"] = jnp.maximum(state["mfpd_max_committed"], 0.0)[0]
+        mov_vec = jnp.stack([vals[n2] for n2 in C.MOV_BASIC_NAMES])
+        di = nn.di_basic(mov_vec, settings.clamp_movs)
+        return mov_vec, di, nn.odg(di)
+
+    return init_state, chunk_step, read_movs
+
+
+# ---------------------------------------------------------------------------
+# Host-side stream driver
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class StreamResult:
+    odg: float
+    di: float
+    movs: dict[str, float]
+
+
+class PeaqStream:
+    """Streaming basic-PEAQ evaluator with O(1) memory in program length.
+
+    feed() accepts arbitrary-length [T, CH] float32 chunks for both signals;
+    current() returns the ODG of everything fed so far (the reference's
+    query-at-any-time property); finalize() flushes the trailing partial
+    frame (src/gstpeaq.c:715-745) and returns the final result.
+
+    The device state is an explicit pytree: checkpoint/resume is
+    `state = stream.state` / orbax save + restore.
+    """
+
+    def __init__(self, channels: int = 2, chunk_frames: int = 64,
+                 playback_level: float = 92.0,
+                 settings: C.Settings = C.DEFAULT_SETTINGS,
+                 dtype: str | None = None):
+        import jax
+
+        from .. import api
+        dtype = dtype or api.default_dtype()
+        import jax.numpy as jnp
+        init_state, chunk_step, read_movs = _make_basic_chunk_step(
+            playback_level, settings, jnp.dtype(dtype))
+        self._channels = channels
+        self._chunk_frames = chunk_frames
+        self._chunk_samples = chunk_frames * C.FFT_STEPSIZE
+        self.state = init_state(channels)
+        self._step = jax.jit(chunk_step)
+        self._read = jax.jit(read_movs)
+        self._buf_ref = np.zeros((0, channels), np.float32)
+        self._buf_test = np.zeros((0, channels), np.float32)
+        self._finalized = False
+
+    def feed(self, ref: np.ndarray, test: np.ndarray) -> None:
+        from .. import api
+        assert not self._finalized
+        self._buf_ref = np.concatenate([self._buf_ref, api._as_2d_f32(ref)])
+        self._buf_test = np.concatenate([self._buf_test,
+                                         api._as_2d_f32(test)])
+        self._drain()
+
+    def _drain(self) -> None:
+        need = self._chunk_samples + C.FFT_STEPSIZE  # frames overlap by 1024
+        while (self._buf_ref.shape[0] >= need
+               and self._buf_test.shape[0] >= need):
+            take = self._chunk_samples + C.FFT_STEPSIZE
+            r = self._buf_ref[:take]
+            t = self._buf_test[:take]
+            self.state = self._step(self.state, r, t)
+            # keep the trailing step for the next chunk's first frame overlap
+            self._buf_ref = self._buf_ref[self._chunk_samples:]
+            self._buf_test = self._buf_test[self._chunk_samples:]
+
+    def current(self) -> StreamResult:
+        movs, di, odg = self._read(self.state)
+        movs = np.asarray(movs)
+        return StreamResult(
+            odg=float(odg), di=float(di),
+            movs={n: float(v) for n, v in zip(C.MOV_BASIC_NAMES, movs)})
+
+    def finalize(self) -> StreamResult:
+        """Process remaining full frames + the zero-padded flush frame."""
+        if not self._finalized:
+            n = min(self._buf_ref.shape[0], self._buf_test.shape[0])
+            from ..ops import framing
+            n_rest = framing.num_frames(
+                self._buf_ref.shape[0], self._buf_test.shape[0],
+                C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+            if n_rest > 0:
+                length = framing.padded_length(
+                    n_rest, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+                r = framing.pad_signal(self._buf_ref, n_rest,
+                                       C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+                t = framing.pad_signal(self._buf_test, n_rest,
+                                       C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+                self.state = self._step(self.state, r, t)
+            self._buf_ref = self._buf_ref[:0]
+            self._buf_test = self._buf_test[:0]
+            self._finalized = True
+        return self.current()
