@@ -56,7 +56,8 @@ def make_pipeline(playback_level: float = 92.0,
         n_fft = ref_fft.shape[0] // C.FFT_STEPSIZE - 1
         rframes = framing.frames_overlap50(ref_fft, n_fft)   # [F,CH,2048]
         tframes = framing.frames_overlap50(test_fft, n_fft)
-        above_fft = framing.above_threshold(rframes.astype(dtype))
+        above_fft = framing.above_threshold_signal(
+            ref_fft.astype(dtype), n_fft, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
         fft_frame_valid = None
         if valid_fft is not None:
             fft_frame_valid = jnp.arange(n_fft) < valid_fft
@@ -79,8 +80,8 @@ def make_pipeline(playback_level: float = 92.0,
 
         # ------------- FB path: ModDiff / NoiseLoudAsym / LinDist ----------
         n_fb = ref_fb.shape[0] // C.FB_FRAMESIZE
-        rfb_frames = framing.frames_disjoint(ref_fb, n_fb, C.FB_FRAMESIZE)
-        above_fb = framing.above_threshold(rfb_frames.astype(dtype))
+        above_fb = framing.above_threshold_signal(
+            ref_fb.astype(dtype), n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
         if valid_fb is not None:
             above_fb = above_fb & (jnp.arange(n_fb) < valid_fb)
         _, _, committed_fb = accum.activity(above_fb)

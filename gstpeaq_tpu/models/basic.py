@@ -62,7 +62,9 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         test_frames = framing.frames_overlap50(test_sig, n_frames)
         channels = ref_frames.shape[1]
 
-        above = framing.above_threshold(ref_frames.astype(dtype))  # [F]
+        above = framing.above_threshold_signal(
+            ref_sig.astype(dtype), n_frames, C.FFT_FRAMESIZE,
+            C.FFT_STEPSIZE)  # [F]
         frame_valid = None
         if valid_frames is not None:
             # bucketed batching: frames past a pair's own flush frame can

@@ -77,7 +77,8 @@ def build_consts(params: EP.FBEarParams, dtype=jnp.float64) -> FBEarConsts:
     )
 
 
-def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray) -> jnp.ndarray:
+def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray, state=None,
+                     return_state: bool = False):
     """Solve y_t = a1 y_{t-1} + a2 y_{t-2} + v_t along the last axis with
     zero initial state.
 
@@ -96,24 +97,45 @@ def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray) -> jnp.ndarray:
     g_p = lam_p / (lam_p - lam_m)
     g_m = lam_m / (lam_m - lam_p)
     vc = v.astype(cdtype)
+    s_p, s_m = state if state is not None else (None, None)
     u_p = iir.linear_recurrence(
-        jnp.broadcast_to(jnp.asarray(lam_p, cdtype), v.shape), vc, axis=-1)
+        jnp.broadcast_to(jnp.asarray(lam_p, cdtype), v.shape), vc, axis=-1,
+        y0=s_p)
     u_m = iir.linear_recurrence(
-        jnp.broadcast_to(jnp.asarray(lam_m, cdtype), v.shape), vc, axis=-1)
+        jnp.broadcast_to(jnp.asarray(lam_m, cdtype), v.shape), vc, axis=-1,
+        y0=s_m)
     y = (jnp.asarray(g_p, cdtype) * u_p + jnp.asarray(g_m, cdtype) * u_m)
-    return jnp.real(y).astype(dtype)
+    y = jnp.real(y).astype(dtype)
+    if return_state:
+        return y, (u_p[..., -1], u_m[..., -1])
+    return y
 
 
-def dc_reject(x: jnp.ndarray) -> jnp.ndarray:
-    """DC-rejection cascade; src/fbearmodel.c:291-303.  x: [..., T]."""
-    # feedforward (1 - 2 z^-1 + z^-2) with zero history
-    def ff(u):
-        u1 = jnp.concatenate([jnp.zeros_like(u[..., :1]), u[..., :-1]], -1)
-        u2 = jnp.concatenate([jnp.zeros_like(u[..., :2]), u[..., :-2]], -1)
-        return u - 2.0 * u1 + u2
+def dc_reject(x: jnp.ndarray, state=None, return_state: bool = False):
+    """DC-rejection cascade; src/fbearmodel.c:291-303.  x: [..., T].
 
-    y1 = _biquad_feedback(C.HP1_A[0], C.HP1_A[1], ff(x))
-    y2 = _biquad_feedback(C.HP2_A[0], C.HP2_A[1], ff(y1))
+    `state` (streaming) = (x_tail, u1, y1_tail, u2) with x_tail/y1_tail the
+    previous two inputs of each stage's feedforward and u1/u2 the complex
+    recurrence carries of each stage.
+    """
+    def ff(u, tail):
+        if tail is None:
+            pad = jnp.zeros_like(u[..., :2])
+        else:
+            pad = tail
+        ext = jnp.concatenate([pad, u], -1)
+        return u - 2.0 * ext[..., 1:-1] + ext[..., :-2]
+
+    if state is None:
+        x_tail = u1 = y1_tail = u2 = None
+    else:
+        x_tail, u1, y1_tail, u2 = state
+    v1 = ff(x, x_tail)
+    y1, u1n = _biquad_feedback(C.HP1_A[0], C.HP1_A[1], v1, u1, True)
+    v2 = ff(y1, y1_tail)
+    y2, u2n = _biquad_feedback(C.HP2_A[0], C.HP2_A[1], v2, u2, True)
+    if return_state:
+        return y2, (x[..., -2:], u1n, y1[..., -2:], u2n)
     return y2
 
 

@@ -58,6 +58,33 @@ def frames_disjoint(sig: jnp.ndarray, n_frames: int,
     return jnp.moveaxis(blocks, 2, 1)
 
 
+def above_threshold_signal(sig: jnp.ndarray, n_frames: int, frame_size: int,
+                           step_size: int) -> jnp.ndarray:
+    """Data-boundary test evaluated on the signal (src/gstpeaq.c:1080-1099).
+
+    Equivalent to above_threshold() on extracted frames but avoids the 2x
+    overlap duplication and the log-depth cumsum: one 5-term shifted sum over
+    |sig|, then per-hop-block reductions.  A frame is above threshold when
+    any 5-sample window [i-4..i] with i >= 5 (frame-local) in any channel
+    sums to >= 200/32768.
+
+    sig: [T, C] with T = (n_frames - 1) * step_size + frame_size and
+    frame_size in {step_size, 2 * step_size}.  Returns bool [n_frames].
+    """
+    t = sig.shape[0]
+    a = jnp.abs(sig)
+    w = a[4:] + a[3:-1] + a[2:-2] + a[1:-3] + a[:-4]   # ends at j = 4..T-1
+    hit = jnp.any(w >= C.FRAME_THRESHOLD, axis=-1)     # [T-4]
+    g = jnp.concatenate([jnp.zeros(4, bool), hit])     # G[j], j = 0..T-1
+    n_hops = t // step_size
+    blocks = g[:n_hops * step_size].reshape(n_hops, step_size)
+    tail_any = jnp.any(blocks[:, 5:], axis=1)          # hop positions >= 5
+    if frame_size == step_size:
+        return tail_any[:n_frames]
+    full_any = jnp.any(blocks, axis=1)
+    return tail_any[:n_frames] | full_any[1:n_frames + 1]
+
+
 def above_threshold(frames: jnp.ndarray) -> jnp.ndarray:
     """Data-boundary test; src/gstpeaq.c:1080-1099.
 

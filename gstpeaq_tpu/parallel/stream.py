@@ -80,7 +80,9 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         n_frames = ref_sig.shape[0] // C.FFT_STEPSIZE - 1
         ref_frames = framing.frames_overlap50(ref_sig, n_frames)
         test_frames = framing.frames_overlap50(test_sig, n_frames)
-        above = framing.above_threshold(ref_frames.astype(dtype))  # [Fc]
+        above = framing.above_threshold_signal(
+            ref_sig.astype(dtype), n_frames, C.FFT_FRAMESIZE,
+            C.FFT_STEPSIZE)  # [Fc]
 
         both = jnp.stack([ref_frames, test_frames])
         power, weighted, unsmeared, thresh = FE.stateless(k, both)

@@ -1,0 +1,57 @@
+"""Chunked streaming == whole-signal results, exact (long-form config)."""
+
+import numpy as np
+import pytest
+
+from gstpeaq_tpu import api
+from gstpeaq_tpu import constants as C
+from gstpeaq_tpu.parallel.stream import PeaqStream
+from gstpeaq_tpu.utils import testsignals as TS
+
+
+@pytest.mark.slow
+def test_stream_equals_whole_signal():
+    n = 60 * 1024
+    sa, tr = TS.saw(n), TS.triangle(n)
+    want = api.peaq(sa, tr)
+    s = PeaqStream(channels=1, chunk_frames=16)
+    rng = np.random.default_rng(0)
+    pos = 0
+    while pos < n:
+        step = int(rng.integers(1000, 30000))
+        s.feed(sa[pos:pos + step], tr[pos:pos + step])
+        pos += step
+    res = s.finalize()
+    assert abs(res.odg - want.odg) < 1e-10
+    for name in C.MOV_BASIC_NAMES:
+        w, g = want.movs[name], res.movs[name]
+        assert abs(g - w) <= 1e-8 * (1 + abs(w)), (name, g, w)
+
+
+@pytest.mark.slow
+def test_stream_queryable_mid_stream():
+    """ODG is readable at any prefix (the element's live `odg` property,
+    src/gstpeaq.c:475-503)."""
+    n = 50 * 1024
+    sa, tr = TS.saw(n), TS.triangle(n)
+    s = PeaqStream(channels=1, chunk_frames=16)
+    s.feed(sa, tr)
+    mid = s.current()
+    assert np.isfinite(mid.di)
+    res = s.finalize()
+    assert np.isfinite(res.odg)
+
+
+def test_stream_tentative_trailing_silence():
+    """Trailing silence must not change the committed value (quiet-tail
+    suppression, src/movaccum.c:34-41)."""
+    n = 40 * 1024
+    sa, tr = TS.saw(n), TS.triangle(n)
+    s1 = PeaqStream(channels=1, chunk_frames=8)
+    s1.feed(sa, tr)
+    s1.feed(np.zeros(16 * 1024, np.float32), np.zeros(16 * 1024, np.float32))
+    r1 = s1.finalize()
+    want = api.peaq(
+        np.concatenate([sa, np.zeros(16 * 1024, np.float32)]),
+        np.concatenate([tr, np.zeros(16 * 1024, np.float32)]))
+    assert abs(r1.odg - want.odg) < 1e-9
