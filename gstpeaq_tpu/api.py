@@ -34,15 +34,32 @@ def _as_2d_f32(x) -> np.ndarray:
     return x
 
 
+def resolve_dtypes(name: str):
+    """Map a precision name to (band_dtype, spectrum_dtype).
+
+    "float64"  exact double everywhere (bit-faithful to the C reference)
+    "float32"  fastest; drift ~1e-2 ODG worst-case on near-identical pairs
+    "mixed"    f32 spectra (MXU GEMM) + f64 band-domain chain: near-f64 MOV
+               accuracy at close to f32 throughput (the TPU default)
+    """
+    import jax
+    import jax.numpy as jnp
+    if name in ("float64", "mixed"):
+        jax.config.update("jax_enable_x64", True)
+    if name == "mixed":
+        return jnp.float64, jnp.float32
+    d = jnp.dtype(name)
+    return d, d
+
+
 @functools.lru_cache(maxsize=32)
 def _jitted_basic(n_frames: int, channels: int, playback_level: float,
                   settings: C.Settings, dtype_name: str):
     import jax
-    import jax.numpy as jnp
     from .models import basic
-    dtype = jnp.dtype(dtype_name)
+    dtype, sdtype = resolve_dtypes(dtype_name)
     pipe = basic.make_pipeline(C.BASIC_BAND_COUNT, playback_level, settings,
-                               dtype)
+                               dtype, sdtype)
     return jax.jit(pipe)
 
 
@@ -51,17 +68,16 @@ def _jitted_advanced(n_fft_frames: int, n_fb_frames: int, channels: int,
                      playback_level: float, settings: C.Settings,
                      dtype_name: str):
     import jax
-    import jax.numpy as jnp
     from .models import advanced
-    dtype = jnp.dtype(dtype_name)
-    pipe = advanced.make_pipeline(playback_level, settings, dtype)
+    dtype, sdtype = resolve_dtypes(dtype_name)
+    pipe = advanced.make_pipeline(playback_level, settings, dtype, sdtype)
     return jax.jit(pipe)
 
 
 def default_dtype() -> str:
-    """float64 when x64 is enabled (CPU conformance), else float32 (TPU)."""
+    """float64 when x64 is enabled (CPU conformance), else mixed (TPU)."""
     import jax
-    return "float64" if jax.config.jax_enable_x64 else "float32"
+    return "float64" if jax.config.jax_enable_x64 else "mixed"
 
 
 def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,

@@ -36,17 +36,18 @@ class AdvancedOutputs(NamedTuple):
 
 def make_pipeline(playback_level: float = 92.0,
                   settings: C.Settings = C.DEFAULT_SETTINGS,
-                  dtype=jnp.float64):
+                  dtype=jnp.float64, spectrum_dtype=None):
     """Build the jittable advanced pipeline closure.
 
     Returns fn(ref_fft, test_fft, ref_fb, test_fb):
       ref/test_fft: [(F_fft + 1) * 1024, CH] float32 (zero-padded)
       ref/test_fb:  [F_fb * 192, CH] float32 (zero-padded)
     """
+    sdtype = spectrum_dtype or dtype
     fft_params = EP.fft_ear_params(C.ADVANCED_FFT_BAND_COUNT, playback_level)
-    kf = FE.build_consts(fft_params, dtype=dtype)
+    kf = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype)
     fb_params = EP.fb_ear_params(playback_level)
-    kb = FB.build_consts(fb_params, dtype=dtype)
+    kb = FB.build_consts(fb_params, dtype=dtype, spectrum_dtype=sdtype)
     avg_matrix = jnp.asarray(
         level_adapt.sliding_average_matrix(C.FB_BAND_COUNT), dtype=dtype)
 
@@ -57,7 +58,7 @@ def make_pipeline(playback_level: float = 92.0,
         rframes = framing.frames_overlap50(ref_fft, n_fft)   # [F,CH,2048]
         tframes = framing.frames_overlap50(test_fft, n_fft)
         above_fft = framing.above_threshold_signal(
-            ref_fft.astype(dtype), n_fft, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+            ref_fft.astype(sdtype), n_fft, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
         fft_frame_valid = None
         if valid_fft is not None:
             fft_frame_valid = jnp.arange(n_fft) < valid_fft
@@ -71,7 +72,7 @@ def make_pipeline(playback_level: float = 92.0,
         nmr_mean, _ = MOVS.nmr(kf.group_matrix, kf.masking_difference,
                                weighted[0], weighted[1], exc[0])
         ehs_val, ehs_valid = MOVS.ehs(weighted[0], weighted[1],
-                                      thresh[0], thresh[1], settings, dtype)
+                                      thresh[0], thresh[1], settings, sdtype)
         cmf = committed_fft[:, None]
         one = jnp.ones_like(nmr_mean)
         seg_nmr = jnp.mean(accum.avg(
@@ -81,14 +82,14 @@ def make_pipeline(playback_level: float = 92.0,
         # ------------- FB path: ModDiff / NoiseLoudAsym / LinDist ----------
         n_fb = ref_fb.shape[0] // C.FB_FRAMESIZE
         above_fb = framing.above_threshold_signal(
-            ref_fb.astype(dtype), n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+            ref_fb.astype(sdtype), n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
         if valid_fb is not None:
             above_fb = above_fb & (jnp.arange(n_fb) < valid_fb)
         _, _, committed_fb = accum.activity(above_fb)
 
         # [CH, T] signals for the filter bank
-        ref_sig = jnp.moveaxis(ref_fb.astype(dtype), 1, 0)
-        test_sig = jnp.moveaxis(test_fb.astype(dtype), 1, 0)
+        ref_sig = jnp.moveaxis(ref_fb.astype(sdtype), 1, 0)
+        test_sig = jnp.moveaxis(test_fb.astype(sdtype), 1, 0)
         ref_e, ref_u = FB.process_signal(kb, ref_sig, n_fb)   # [CH,F,40]
         test_e, test_u = FB.process_signal(kb, test_sig, n_fb)
         # frame axis leading for the scans
@@ -155,8 +156,8 @@ def make_pipeline(playback_level: float = 92.0,
         odg = nn.odg(di)
 
         half = C.FFT_FRAMESIZE // 2
-        rhalf = rframes[..., :half].astype(dtype)
-        nhalf = rhalf - tframes[..., :half].astype(dtype)
+        rhalf = rframes[..., :half].astype(sdtype)
+        nhalf = rhalf - tframes[..., :half].astype(sdtype)
         if fft_frame_valid is not None:
             sel = fft_frame_valid[:, None, None]
             rhalf = jnp.where(sel, rhalf, 0.0)

@@ -44,14 +44,17 @@ class BasicOutputs(NamedTuple):
 def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
                   playback_level: float = 92.0,
                   settings: C.Settings = C.DEFAULT_SETTINGS,
-                  dtype=jnp.float64):
+                  dtype=jnp.float64, spectrum_dtype=None):
     """Build the jittable basic pipeline closure.
 
-    Returns fn(ref_sig, test_sig) with ref/test_sig: [T, CH] float32,
+    `dtype` = band-domain compute type; `spectrum_dtype` = bin-domain type
+    (mixed f64/f32 is the TPU "precise" mode).  Returns
+    fn(ref_sig, test_sig) with ref/test_sig: [T, CH] float32,
     T = (n_frames + 1) * 1024 (zero-padded, host-prepared).
     """
+    sdtype = spectrum_dtype or dtype
     params = EP.fft_ear_params(band_count, playback_level)
-    k = FE.build_consts(params, dtype=dtype)
+    k = FE.build_consts(params, dtype=dtype, spectrum_dtype=sdtype)
     avg_matrix = jnp.asarray(
         level_adapt.sliding_average_matrix(band_count), dtype=dtype)
 
@@ -63,7 +66,7 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         channels = ref_frames.shape[1]
 
         above = framing.above_threshold_signal(
-            ref_sig.astype(dtype), n_frames, C.FFT_FRAMESIZE,
+            ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE,
             C.FFT_STEPSIZE)  # [F]
         frame_valid = None
         if valid_frames is not None:
@@ -115,7 +118,7 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         p_bin, steps_bin = MOVS.prob_detect(
             ref_e, test_e, settings.use_floor_for_steps_above_threshold)
         ehs_val, ehs_valid = MOVS.ehs(
-            ref_w, test_w, thresh[0], thresh[1], settings, dtype)
+            ref_w, test_w, thresh[0], thresh[1], settings, sdtype)
 
         # ---- accumulate (channel means where multichannel) ----
         cm = committed[:, None]
@@ -145,8 +148,8 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
 
         # totalsnr bookkeeping; src/gstpeaq.c:913-918
         half = C.FFT_FRAMESIZE // 2
-        rhalf = ref_frames[..., :half].astype(dtype)
-        nhalf = rhalf - test_frames[..., :half].astype(dtype)
+        rhalf = ref_frames[..., :half].astype(sdtype)
+        nhalf = rhalf - test_frames[..., :half].astype(sdtype)
         if frame_valid is not None:
             sel = frame_valid[:, None, None]
             rhalf = jnp.where(sel, rhalf, 0.0)

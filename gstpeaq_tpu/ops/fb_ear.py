@@ -48,7 +48,12 @@ class FBEarConsts:
     band_count: int
 
 
-def build_consts(params: EP.FBEarParams, dtype=jnp.float64) -> FBEarConsts:
+def build_consts(params: EP.FBEarParams, dtype=jnp.float64,
+                 spectrum_dtype=None) -> FBEarConsts:
+    """`dtype` = band-domain type (spreading, masking, 40-band arrays);
+    `spectrum_dtype` = sample-domain type (DC filter, FIR bank conv)."""
+    spectrum_dtype = spectrum_dtype or dtype
+    fs = lambda x: jnp.asarray(x, dtype=spectrum_dtype)
     f = lambda x: jnp.asarray(x, dtype=dtype)
     # fold aliased lag-1456 tap into lag 0, then reverse lags for conv
     h_re = params.h_re[:, :C.FB_BUFFER_LENGTH].copy()
@@ -62,14 +67,14 @@ def build_consts(params: EP.FBEarParams, dtype=jnp.float64) -> FBEarConsts:
     expo = idx[:, None] - idx[None, :]                 # [j, k] -> j - k
     lower = np.where(expo >= 0, C.CL ** np.maximum(expo, 0), 0.0)
     return FBEarConsts(
-        h_folded=f(h_rev),
+        h_folded=fs(h_rev),
         back_mask=f(params.back_mask),
         internal_noise=f(params.internal_noise),
         ear_a=f(params.ear_time_constants),
         adapt_a=f(params.adapt_time_constants),
         fc=f(params.fc),
         lower_matrix=f(lower),
-        level_factor=f(params.level_factor),
+        level_factor=fs(params.level_factor),
         threshold=f(params.threshold),
         excitation_threshold=f(params.excitation_threshold),
         loudness_factor=f(params.loudness_factor),
@@ -139,19 +144,24 @@ def dc_reject(x: jnp.ndarray, state=None, return_state: bool = False):
     return y2
 
 
-def filter_bank(k: FBEarConsts, hp2: jnp.ndarray):
+def filter_bank(k: FBEarConsts, hp2: jnp.ndarray, history=None):
     """Strided complex FIR bank; src/fbearmodel.c:398-435.
 
     hp2: [..., T] DC-filtered signal (T divisible by 32).  Output evaluated
     at every 32nd sample: fb(t)[band] = sum_lag h[band, lag] x[t-lag].
+    `history`: [..., 1455] previous samples (streaming); zeros when None.
     Returns (re, im): [..., I, 40] with I = T / 32.
     """
     dtype = hp2.dtype
     lead = hp2.shape[:-1]
     t = hp2.shape[-1]
-    x = hp2.reshape(-1, 1, t)
-    # left-pad with the 1455-sample zero history so out[i] covers x[32i-lag]
-    xp = jnp.pad(x, ((0, 0), (0, 0), (C.FB_BUFFER_LENGTH - 1, 0)))
+    if history is not None:
+        hp2_ext = jnp.concatenate([history, hp2], axis=-1)
+        xp = hp2_ext.reshape(-1, 1, hp2_ext.shape[-1])
+    else:
+        x = hp2.reshape(-1, 1, t)
+        # left-pad with the 1455-sample zero history: out[i] covers x[32i-lag]
+        xp = jnp.pad(x, ((0, 0), (0, 0), (C.FB_BUFFER_LENGTH - 1, 0)))
     kernel = k.h_folded[:, None, :]  # [O=80, I=1, W=1456]
     out = jax.lax.conv_general_dilated(
         xp, kernel, window_strides=(C.FB_SUBSAMPLING,), padding="VALID",
@@ -162,16 +172,18 @@ def filter_bank(k: FBEarConsts, hp2: jnp.ndarray):
     return out[..., :40], out[..., 40:]
 
 
-def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray):
+def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
+           cu_state=None, return_state: bool = False):
     """Level-dependent frequency spreading per subsampled instant;
     src/fbearmodel.c:326-354.  fb_re/fb_im: [..., I, 40], instants axis -2.
-    Returns E0 = |A|^2: [..., I, 40]."""
+    Returns E0 = |A|^2: [..., I, 40] (+ final cu state when requested)."""
     level = 10.0 * jnp.log10(fb_re * fb_re + fb_im * fb_im)
     s = jnp.maximum(4.0, 24.0 + 230.0 / k.fc - 0.2 * level)
     dist_s = C.DIST ** s
     a = 1.0 - C.SLOPE_FILTER_A
     cu = iir.linear_recurrence(
-        jnp.full_like(dist_s, a), C.SLOPE_FILTER_A * dist_s, axis=-2)
+        jnp.full_like(dist_s, a), C.SLOPE_FILTER_A * dist_s, axis=-2,
+        y0=cu_state)
     # upper spreading U[i, j] = cu[i]^(j-i) for j > i (+ identity), applied
     # in static destination-band blocks (unrolled; see fft_ear.spread for
     # why neither lax.scan nor one big einsum is used)
@@ -192,20 +204,31 @@ def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray):
     # constant lower spreading: final[c] = sum_{j>=c} CL^(j-c) A[j]
     a_re = jnp.einsum("...j,...jc->...c", a_re, k.lower_matrix)
     a_im = jnp.einsum("...j,...jc->...c", a_im, k.lower_matrix)
-    return a_re * a_re + a_im * a_im
+    e0 = a_re * a_re + a_im * a_im
+    if return_state:
+        return e0, cu[..., -1, :]
+    return e0
 
 
-def back_and_forward_masking(k: FBEarConsts, e0: jnp.ndarray,
-                             n_frames: int):
+def back_and_forward_masking(k: FBEarConsts, e0: jnp.ndarray, n_frames: int,
+                             state=None, return_state: bool = False):
     """Backward-masking FIR at frame boundaries + internal noise + forward
     masking IIR; src/fbearmodel.c:362-395.
 
     e0: [..., I, 40] with I = 6 * n_frames (instants axis second-to-last,
     frame axis must end up leading for the scan).
+    `state` (streaming) = (e0_tail [..., 10, 40], excitation [..., 40]).
     Returns (excitation, unsmeared): [..., F, 40].
     """
-    pad = [(0, 0)] * (e0.ndim - 2) + [(10, 0), (0, 0)]
-    e0p = jnp.pad(e0, pad)
+    if state is None:
+        e0_tail, exc0 = None, None
+    else:
+        e0_tail, exc0 = state
+    if e0_tail is None:
+        pad = [(0, 0)] * (e0.ndim - 2) + [(10, 0), (0, 0)]
+        e0p = jnp.pad(e0, pad)
+    else:
+        e0p = jnp.concatenate([e0_tail, e0], axis=-2)
     ipf = C.FB_FRAMESIZE // C.FB_SUBSAMPLING  # 6
     e1 = None
     for i in range(11):
@@ -215,17 +238,39 @@ def back_and_forward_masking(k: FBEarConsts, e0: jnp.ndarray,
         e1 = term if e1 is None else e1 + term
     unsmeared = e1 + k.internal_noise
     # forward masking: scan over the frame axis (axis -2)
-    excitation = iir.smoothing_filter(k.ear_a, unsmeared, axis=-2)
+    excitation = iir.smoothing_filter(k.ear_a, unsmeared, axis=-2, y0=exc0)
+    if return_state:
+        return (excitation, unsmeared,
+                (e0p[..., -10:, :], excitation[..., -1, :]))
     return excitation, unsmeared
 
 
-def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int):
-    """Whole-signal FB ear model.  signal: [..., T] with T = 192*n_frames.
-    Returns (excitation, unsmeared): [..., F, 40]."""
-    hp2 = dc_reject(signal * k.level_factor)
-    fb_re, fb_im = filter_bank(k, hp2)
-    e0 = spread(k, fb_re, fb_im)
-    return back_and_forward_masking(k, e0, n_frames)
+def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
+                   state=None, return_state: bool = False):
+    """Whole-signal / chunked FB ear model.  signal: [..., T] with
+    T = 192 * n_frames.  `state` carries (dc_state, hp2_history, cu,
+    masking_state) for streaming.  Returns (excitation, unsmeared)
+    [..., F, 40] (+ new state when requested)."""
+    if state is None:
+        dc_state = hp2_hist = cu_state = mask_state = None
+    else:
+        dc_state, hp2_hist, cu_state, mask_state = state
+    bdtype = k.internal_noise.dtype
+    hp2, dc_new = dc_reject(
+        signal.astype(k.level_factor.dtype) * k.level_factor, dc_state, True)
+    fb_re, fb_im = filter_bank(k, hp2, history=hp2_hist)
+    e0, cu_new = spread(k, fb_re.astype(bdtype), fb_im.astype(bdtype),
+                        cu_state, True)
+    exc, uns, mask_new = back_and_forward_masking(
+        k, e0, n_frames, mask_state, True)
+    if return_state:
+        hist = (jnp.concatenate([hp2_hist, hp2], -1)[..., -1455:]
+                if hp2_hist is not None else
+                jnp.concatenate(
+                    [jnp.zeros((*hp2.shape[:-1], C.FB_BUFFER_LENGTH - 1),
+                               hp2.dtype), hp2], -1)[..., -1455:])
+        return exc, uns, (dc_new, hist, cu_new, mask_new)
+    return exc, uns
 
 
 def loudness(k: FBEarConsts, excitation: jnp.ndarray) -> jnp.ndarray:

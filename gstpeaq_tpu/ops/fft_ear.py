@@ -50,7 +50,16 @@ class FFTEarConsts:
 
 
 def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
-                 use_dft_gemm: bool | None = None) -> FFTEarConsts:
+                 use_dft_gemm: bool | None = None,
+                 spectrum_dtype=None) -> FFTEarConsts:
+    """`dtype` is the band-domain compute type (Z-length arrays: spreading,
+    smearing, adaptation, modulation, MOVs); `spectrum_dtype` the bin-domain
+    type (frames, DFT, 1025-bin spectra).  Mixed f64/f32 gives near-f64 MOV
+    accuracy at f32 spectrum cost on TPU: the modulation derivative amplifies
+    frame-independent rounding noise of the *band chain*, while the spectrum
+    noise contribution is ~10x smaller (measured)."""
+    spectrum_dtype = spectrum_dtype or dtype
+    fs = lambda x: jnp.asarray(x, dtype=spectrum_dtype)
     f = lambda x: jnp.asarray(x, dtype=dtype)
     Z = params.band_count
     idx = np.arange(Z)
@@ -61,7 +70,7 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
     # while the MXU eats a [N, 2048] @ [2048, 2050] GEMM; folding the Hann
     # window into the DFT matrix also removes one full pass over the frames.
     if use_dft_gemm is None:
-        use_dft_gemm = dtype == jnp.float32
+        use_dft_gemm = spectrum_dtype == jnp.float32
     dft = None
     if use_dft_gemm:
         n = C.FFT_FRAMESIZE
@@ -69,14 +78,14 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
         nn = np.arange(n)
         ang = -2.0 * np.pi * np.outer(nn, kk) / n
         win = params.hann_window[:, None]
-        dft = f(np.concatenate([np.cos(ang) * win, np.sin(ang) * win], 1))
+        dft = fs(np.concatenate([np.cos(ang) * win, np.sin(ang) * win], 1))
     return FFTEarConsts(
-        hann=f(params.hann_window),
+        hann=fs(params.hann_window),
         dft_matrix=dft,
         dft_precision=jax.lax.Precision.HIGHEST,
-        om_weight=f(params.outer_middle_ear_weight),
-        level_factor=f(params.level_factor),
-        group_matrix=f(params.group_matrix),
+        om_weight=fs(params.outer_middle_ear_weight),
+        level_factor=fs(params.level_factor),
+        group_matrix=fs(params.group_matrix),
         internal_noise=f(params.internal_noise),
         a_uc_log=f(np.log(params.a_uc)),
         a_uc=f(params.a_uc),
@@ -171,8 +180,9 @@ def stateless(k: FFTEarConsts, frames: jnp.ndarray):
     (power_spectrum, weighted_power_spectrum, unsmeared_excitation,
      energy_threshold_reached).
     """
-    dtype = k.hann.dtype
-    x = frames.astype(dtype)
+    sdtype = k.hann.dtype           # spectrum (bin-domain) dtype
+    bdtype = k.internal_noise.dtype  # band-domain dtype (may be wider)
+    x = frames.astype(sdtype)
     if k.dft_matrix is not None:
         bins = C.FFT_FRAMESIZE // 2 + 1
         spec_ri = jnp.dot(x, k.dft_matrix, precision=k.dft_precision)
@@ -183,7 +193,7 @@ def stateless(k: FFTEarConsts, frames: jnp.ndarray):
         spec = rfft_flat(windowed)
         power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * k.level_factor
     weighted = power * k.om_weight
-    band_power = group_into_bands(k, weighted)
+    band_power = group_into_bands(k, weighted).astype(bdtype)
     unsmeared = spread(k, band_power + k.internal_noise)
     energy = jnp.sum(x[..., C.FFT_FRAMESIZE // 2:] ** 2, axis=-1)
     threshold_reached = energy >= C.EHS_ENERGY_THRESHOLD

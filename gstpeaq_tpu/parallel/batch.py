@@ -27,10 +27,11 @@ def bucket_frames(n_frames: int, granularity: int = 64) -> int:
 def _jitted_basic_batch(playback_level: float, settings: C.Settings,
                         dtype_name: str):
     import jax
-    import jax.numpy as jnp
+    from .. import api
     from ..models import basic
+    dtype, sdtype = api.resolve_dtypes(dtype_name)
     pipe = basic.make_pipeline(
-        C.BASIC_BAND_COUNT, playback_level, settings, jnp.dtype(dtype_name))
+        C.BASIC_BAND_COUNT, playback_level, settings, dtype, sdtype)
     return jax.jit(jax.vmap(pipe))
 
 
@@ -38,10 +39,10 @@ def _jitted_basic_batch(playback_level: float, settings: C.Settings,
 def _jitted_advanced_batch(playback_level: float, settings: C.Settings,
                            dtype_name: str):
     import jax
-    import jax.numpy as jnp
+    from .. import api
     from ..models import advanced
-    pipe = advanced.make_pipeline(playback_level, settings,
-                                  jnp.dtype(dtype_name))
+    dtype, sdtype = api.resolve_dtypes(dtype_name)
+    pipe = advanced.make_pipeline(playback_level, settings, dtype, sdtype)
     return jax.jit(jax.vmap(pipe))
 
 

@@ -32,15 +32,16 @@ def _jitted_sharded(advanced: bool, playback_level: float,
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
+    from .. import api
     mesh = _MESHES[mesh_key]
+    dtype, sdtype = api.resolve_dtypes(dtype_name)
     if advanced:
         from ..models import advanced as mod
-        pipe = mod.make_pipeline(playback_level, settings,
-                                 jnp.dtype(dtype_name))
+        pipe = mod.make_pipeline(playback_level, settings, dtype, sdtype)
     else:
         from ..models import basic as mod
         pipe = mod.make_pipeline(C.BASIC_BAND_COUNT, playback_level, settings,
-                                 jnp.dtype(dtype_name))
+                                 dtype, sdtype)
     batched = jax.vmap(pipe)
     data_sharding = NamedSharding(mesh, P(PAIR_AXIS))
     return jax.jit(batched, in_shardings=data_sharding,

@@ -34,16 +34,17 @@ from .. import constants as C
 
 
 def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
-                           dtype):
+                           dtype_name: str):
     import jax
     import jax.numpy as jnp
 
-    from .. import earparams as EP
+    from .. import api, earparams as EP
     from ..models import accum, level_adapt, movs as MOVS, modulation as MP
     from ..ops import fft_ear as FE, framing
 
+    dtype, sdtype = api.resolve_dtypes(dtype_name)
     params = EP.fft_ear_params(C.BASIC_BAND_COUNT, playback_level)
-    k = FE.build_consts(params, dtype=dtype)
+    k = FE.build_consts(params, dtype=dtype, spectrum_dtype=sdtype)
     avg_matrix = jnp.asarray(
         level_adapt.sliding_average_matrix(C.BASIC_BAND_COUNT), dtype=dtype)
 
@@ -81,7 +82,7 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         ref_frames = framing.frames_overlap50(ref_sig, n_frames)
         test_frames = framing.frames_overlap50(test_sig, n_frames)
         above = framing.above_threshold_signal(
-            ref_sig.astype(dtype), n_frames, C.FFT_FRAMESIZE,
+            ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE,
             C.FFT_STEPSIZE)  # [Fc]
 
         both = jnp.stack([ref_frames, test_frames])
@@ -121,7 +122,7 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         p_bin, steps_bin = MOVS.prob_detect(
             ref_e, test_e, settings.use_floor_for_steps_above_threshold)
         ehs_val, ehs_valid = MOVS.ehs(
-            weighted[0], weighted[1], thresh[0], thresh[1], settings, dtype)
+            weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype)
 
         # --- streaming accumulation ---
         has_prev = state["has_above"]
@@ -201,8 +202,8 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         win_sqrts_new = jnp.moveaxis(ext[-3:], 0, 1)
 
         half = C.FFT_FRAMESIZE // 2
-        rhalf = ref_frames[..., :half].astype(dtype)
-        nhalf = rhalf - test_frames[..., :half].astype(dtype)
+        rhalf = ref_frames[..., :half].astype(sdtype)
+        nhalf = rhalf - test_frames[..., :half].astype(sdtype)
 
         new_state = {
             "smear": smear_new,
@@ -255,6 +256,240 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
 
 
 # ---------------------------------------------------------------------------
+# Device-side chunk steps (advanced version: FFT path + FB path)
+# ---------------------------------------------------------------------------
+
+
+def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
+                               dtype_name: str):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import api, earparams as EP
+    from ..models import level_adapt, movs as MOVS, modulation as MP
+    from ..ops import fb_ear as FB, fft_ear as FE, framing
+
+    dtype, sdtype = api.resolve_dtypes(dtype_name)
+    fft_params = EP.fft_ear_params(C.ADVANCED_FFT_BAND_COUNT, playback_level)
+    kf = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype)
+    fb_params = EP.fb_ear_params(playback_level)
+    kb = FB.build_consts(fb_params, dtype=dtype, spectrum_dtype=sdtype)
+    avg_matrix = jnp.asarray(
+        level_adapt.sliding_average_matrix(C.FB_BAND_COUNT), dtype=dtype)
+
+    def f(*s):
+        return jnp.zeros(s, dtype)
+
+    def init_state(channels: int):
+        sums = {name: {kk: f(channels) for kk in
+                       ("all", "committed", "all_den", "committed_den")}
+                for name in C.MOV_ADVANCED_NAMES}
+        sums["RmsNoiseLoudAsymA"]["all2"] = f(channels)
+        sums["RmsNoiseLoudAsymA"]["committed2"] = f(channels)
+        cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+        c = lambda *s: jnp.zeros(s, cdtype)
+
+        def fb_model_state():
+            # (dc_state, hp2_history, cu, masking_state) per fb_ear layout
+            dc = (f(channels, 2), (c(channels), c(channels)),
+                  f(channels, 2), (c(channels), c(channels)))
+            return (dc, f(channels, C.FB_BUFFER_LENGTH - 1),
+                    f(channels, C.FB_BAND_COUNT),
+                    (f(channels, 10, C.FB_BAND_COUNT),
+                     f(channels, C.FB_BAND_COUNT)))
+
+        return {
+            "sums": sums,
+            # FFT path
+            "smear": f(2, channels, C.ADVANCED_FFT_BAND_COUNT),
+            "has_above_fft": jnp.zeros((), bool),
+            # FB path
+            "fb_ref": fb_model_state(),
+            "fb_test": fb_model_state(),
+            "la": tuple(f(channels, C.FB_BAND_COUNT) for _ in range(6)),
+            "mod": tuple((f(channels, C.FB_BAND_COUNT),) * 3
+                         for _ in range(2)),
+            "has_above_fb": jnp.zeros((), bool),
+            "frame_offset_fb": jnp.zeros((), jnp.int32),
+            "lrf": jnp.full((), np.iinfo(np.int32).max, jnp.int32),
+            "signal_energy": f(),
+            "noise_energy": f(),
+        }
+
+    def _update(entry, num_c, den_c, gate, active, any_above, t_last,
+                num2_c=None):
+        m = (active & gate)
+        m = m[:, None] if num_c.ndim == 2 else m
+        num_c = jnp.where(m, num_c, 0.0)
+        den_c = jnp.where(m, den_c, 0.0)
+        pn = jnp.cumsum(num_c, axis=0)
+        pd = jnp.cumsum(den_c, axis=0)
+        out = {
+            "all": entry["all"] + pn[-1],
+            "all_den": entry["all_den"] + pd[-1],
+            "committed": jnp.where(any_above, entry["all"] + pn[t_last],
+                                   entry["committed"]),
+            "committed_den": jnp.where(any_above,
+                                       entry["all_den"] + pd[t_last],
+                                       entry["committed_den"]),
+        }
+        if num2_c is not None:
+            num2_c = jnp.where(m, num2_c, 0.0)
+            p2 = jnp.cumsum(num2_c, axis=0)
+            out["all2"] = entry["all2"] + p2[-1]
+            out["committed2"] = jnp.where(
+                any_above, entry["all2"] + p2[t_last], entry["committed2"])
+        return out
+
+    def fft_chunk_step(state, ref_sig, test_sig):
+        """FFT path chunk: SegmentalNMR + EHS.
+        ref/test_sig: [(Fc+1)*1024, CH]."""
+        n_frames = ref_sig.shape[0] // C.FFT_STEPSIZE - 1
+        ref_frames = framing.frames_overlap50(ref_sig, n_frames)
+        test_frames = framing.frames_overlap50(test_sig, n_frames)
+        above = framing.above_threshold_signal(
+            ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+        both = jnp.stack([ref_frames, test_frames])
+        power, weighted, unsmeared, thresh = FE.stateless(kf, both)
+        exc, smear_new = FE.time_smear(
+            kf, jnp.moveaxis(unsmeared, 1, 0), axis=0,
+            state=state["smear"], return_state=True)
+        exc = jnp.moveaxis(exc, 0, 1)
+        nmr_mean, _ = MOVS.nmr(kf.group_matrix, kf.masking_difference,
+                               weighted[0], weighted[1], exc[0])
+        ehs_val, ehs_valid = MOVS.ehs(weighted[0], weighted[1], thresh[0],
+                                      thresh[1], settings, sdtype)
+        has_prev = state["has_above_fft"]
+        active = has_prev | (jnp.cumsum(above.astype(jnp.int32)) > 0)
+        any_above = jnp.any(above)
+        t_last = n_frames - 1 - jnp.argmax(above[::-1])
+        one = jnp.ones_like(nmr_mean)
+        tgate = jnp.ones_like(above)
+        sums = dict(state["sums"])
+        sums["SegmentalNMRB"] = _update(
+            sums["SegmentalNMRB"], 10.0 * jnp.log10(nmr_mean), one, tgate,
+            active, any_above, t_last)
+        sums["EHSB"] = _update(
+            sums["EHSB"], jnp.where(ehs_valid[:, None], ehs_val, 0.0),
+            ehs_valid.astype(dtype)[:, None] * one, tgate, active, any_above,
+            t_last)
+        half = C.FFT_FRAMESIZE // 2
+        rhalf = ref_frames[..., :half].astype(sdtype)
+        nhalf = rhalf - test_frames[..., :half].astype(sdtype)
+        new_state = dict(state)
+        new_state.update(
+            sums=sums, smear=smear_new, has_above_fft=has_prev | any_above,
+            signal_energy=state["signal_energy"] + jnp.sum(rhalf ** 2),
+            noise_energy=state["noise_energy"] + jnp.sum(nhalf ** 2))
+        return new_state
+
+    def fb_chunk_step(state, ref_sig, test_sig):
+        """FB path chunk: RmsModDiffA / RmsNoiseLoudAsymA / AvgLinDistA.
+        ref/test_sig: [Fc*192, CH]."""
+        n_fb = ref_sig.shape[0] // C.FB_FRAMESIZE
+        above = framing.above_threshold_signal(
+            ref_sig.astype(sdtype), n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+        ref_e, ref_u, fb_ref_new = FB.process_signal(
+            kb, jnp.moveaxis(ref_sig.astype(sdtype), 1, 0), n_fb,
+            state["fb_ref"], True)
+        test_e, test_u, fb_test_new = FB.process_signal(
+            kb, jnp.moveaxis(test_sig.astype(sdtype), 1, 0), n_fb,
+            state["fb_test"], True)
+        ref_e = jnp.moveaxis(ref_e, -2, 0)
+        ref_u = jnp.moveaxis(ref_u, -2, 0)
+        test_e = jnp.moveaxis(test_e, -2, 0)
+        test_u = jnp.moveaxis(test_u, -2, 0)
+        adapted_ref, adapted_test, la_new = level_adapt.level_adapt(
+            kb.adapt_a, avg_matrix, ref_e, test_e, state=state["la"])
+        mod_ref, avg_loud_ref, mod_ref_new = MP.modulation(
+            kb.adapt_a, ref_u, C.FB_FRAMESIZE, state=state["mod"][0])
+        mod_test, _, mod_test_new = MP.modulation(
+            kb.adapt_a, test_u, C.FB_FRAMESIZE, state=state["mod"][1])
+
+        f_glob = state["frame_offset_fb"] + jnp.arange(n_fb)
+        loud_ref = FB.loudness(kb, ref_e)
+        loud_test = FB.loudness(kb, test_e)
+        loud_ok = jnp.any((loud_ref > 0.1) & (loud_test > 0.1), axis=-1)
+        lrf = jnp.minimum(state["lrf"], jnp.where(
+            jnp.any(loud_ok), f_glob[jnp.argmax(loud_ok)],
+            np.iinfo(np.int32).max).astype(jnp.int32))
+        md_gate = f_glob >= 125
+        nl_gate = md_gate & (f_glob - 13 >= lrf)
+
+        md1, _, temp_wt = MOVS.modulation_difference(
+            kb.internal_noise, mod_ref, mod_test, avg_loud_ref,
+            rms_mode=True, lev_wt=1.0)
+        nl_asym = MOVS.noise_loudness(
+            kb.internal_noise, 2.5, 0.3, 1.0, 0.1, mod_ref, mod_test,
+            adapted_ref, adapted_test)
+        if settings.swap_mod_patts_for_noise_loudness_movs:
+            missing = MOVS.noise_loudness(
+                kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_test, mod_ref,
+                adapted_test, adapted_ref)
+            lin_dist = MOVS.noise_loudness(
+                kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_ref, mod_ref,
+                adapted_ref, ref_e)
+        else:
+            missing = MOVS.noise_loudness(
+                kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_ref, mod_test,
+                adapted_test, adapted_ref)
+            lin_dist = MOVS.noise_loudness(
+                kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_ref, mod_test,
+                adapted_ref, ref_e)
+
+        has_prev = state["has_above_fb"]
+        active = has_prev | (jnp.cumsum(above.astype(jnp.int32)) > 0)
+        any_above = jnp.any(above)
+        t_last = n_fb - 1 - jnp.argmax(above[::-1])
+        one = jnp.ones_like(md1)
+        sums = dict(state["sums"])
+        # MODE_RMS accumulates w^2*v^2 / w^2; src/movaccum.c:375-378
+        sums["RmsModDiffA"] = _update(
+            sums["RmsModDiffA"], temp_wt * temp_wt * md1 * md1,
+            temp_wt * temp_wt, md_gate, active, any_above, t_last)
+        sums["RmsNoiseLoudAsymA"] = _update(
+            sums["RmsNoiseLoudAsymA"], nl_asym * nl_asym, one, nl_gate,
+            active, any_above, t_last, num2_c=missing * missing)
+        sums["AvgLinDistA"] = _update(
+            sums["AvgLinDistA"], lin_dist, one, nl_gate, active, any_above,
+            t_last)
+
+        new_state = dict(state)
+        new_state.update(
+            sums=sums, fb_ref=fb_ref_new, fb_test=fb_test_new, la=la_new,
+            mod=(mod_ref_new, mod_test_new),
+            has_above_fb=has_prev | any_above,
+            frame_offset_fb=state["frame_offset_fb"] + n_fb, lrf=lrf)
+        return new_state
+
+    def read_movs(state):
+        from ..models import nn
+        sums = state["sums"]
+
+        def frac(name):
+            return sums[name]["committed"], sums[name]["committed_den"]
+
+        vals = {}
+        n_, d_ = frac("SegmentalNMRB")
+        vals["SegmentalNMRB"] = jnp.mean(n_ / d_)
+        n_, d_ = frac("EHSB")
+        vals["EHSB"] = jnp.mean(n_ / d_)
+        n_, d_ = frac("RmsModDiffA")
+        vals["RmsModDiffA"] = jnp.mean(jnp.sqrt(n_ / d_))
+        n_, d_ = frac("AvgLinDistA")
+        vals["AvgLinDistA"] = jnp.mean(n_ / d_)
+        e = sums["RmsNoiseLoudAsymA"]
+        vals["RmsNoiseLoudAsymA"] = jnp.mean(
+            jnp.sqrt(e["committed"] / e["committed_den"])
+            + 0.5 * jnp.sqrt(e["committed2"] / e["committed_den"]))
+        mov_vec = jnp.stack([vals[n2] for n2 in C.MOV_ADVANCED_NAMES])
+        di = nn.di_advanced(mov_vec, settings.clamp_movs)
+        return mov_vec, di, nn.odg(di)
+
+    return init_state, fft_chunk_step, fb_chunk_step, read_movs
+
+
+# ---------------------------------------------------------------------------
 # Host-side stream driver
 # ---------------------------------------------------------------------------
 
@@ -286,9 +521,8 @@ class PeaqStream:
 
         from .. import api
         dtype = dtype or api.default_dtype()
-        import jax.numpy as jnp
         init_state, chunk_step, read_movs = _make_basic_chunk_step(
-            playback_level, settings, jnp.dtype(dtype))
+            playback_level, settings, dtype)
         self._channels = channels
         self._chunk_frames = chunk_frames
         self._chunk_samples = chunk_frames * C.FFT_STEPSIZE
@@ -329,14 +563,11 @@ class PeaqStream:
     def finalize(self) -> StreamResult:
         """Process remaining full frames + the zero-padded flush frame."""
         if not self._finalized:
-            n = min(self._buf_ref.shape[0], self._buf_test.shape[0])
             from ..ops import framing
             n_rest = framing.num_frames(
                 self._buf_ref.shape[0], self._buf_test.shape[0],
                 C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
             if n_rest > 0:
-                length = framing.padded_length(
-                    n_rest, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
                 r = framing.pad_signal(self._buf_ref, n_rest,
                                        C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
                 t = framing.pad_signal(self._buf_test, n_rest,
@@ -344,5 +575,91 @@ class PeaqStream:
                 self.state = self._step(self.state, r, t)
             self._buf_ref = self._buf_ref[:0]
             self._buf_test = self._buf_test[:0]
+            self._finalized = True
+        return self.current()
+
+
+class PeaqStreamAdvanced:
+    """Streaming advanced-PEAQ evaluator: two sub-streams (FFT path at
+    2048/1024, filter-bank path at 192/192) with independent buffering, as
+    the reference's four GstAdapters (src/gstpeaq.c:117-120,645-652)."""
+
+    def __init__(self, channels: int = 2, chunk_frames: int = 64,
+                 playback_level: float = 92.0,
+                 settings: C.Settings = C.DEFAULT_SETTINGS,
+                 dtype: str | None = None):
+        import jax
+
+        from .. import api
+        dtype = dtype or api.default_dtype()
+        init_state, fft_step, fb_step, read_movs = _make_advanced_chunk_steps(
+            playback_level, settings, dtype)
+        self._channels = channels
+        self._fft_chunk = chunk_frames * C.FFT_STEPSIZE
+        self._fb_frames = chunk_frames * 16  # ~same audio span
+        self.state = init_state(channels)
+        self._fft_step = jax.jit(fft_step)
+        self._fb_step = jax.jit(fb_step)
+        self._read = jax.jit(read_movs)
+        z = np.zeros((0, channels), np.float32)
+        self._fft_buf = [z, z.copy()]
+        self._fb_buf = [z.copy(), z.copy()]
+        self._finalized = False
+
+    def feed(self, ref, test) -> None:
+        from .. import api
+        assert not self._finalized
+        r, t = api._as_2d_f32(ref), api._as_2d_f32(test)
+        self._fft_buf = [np.concatenate([self._fft_buf[0], r]),
+                         np.concatenate([self._fft_buf[1], t])]
+        self._fb_buf = [np.concatenate([self._fb_buf[0], r]),
+                        np.concatenate([self._fb_buf[1], t])]
+        self._drain()
+
+    def _drain(self) -> None:
+        need = self._fft_chunk + C.FFT_STEPSIZE
+        while min(b.shape[0] for b in self._fft_buf) >= need:
+            self.state = self._fft_step(self.state,
+                                        self._fft_buf[0][:need],
+                                        self._fft_buf[1][:need])
+            self._fft_buf = [b[self._fft_chunk:] for b in self._fft_buf]
+        need_fb = self._fb_frames * C.FB_FRAMESIZE
+        while min(b.shape[0] for b in self._fb_buf) >= need_fb:
+            self.state = self._fb_step(self.state,
+                                       self._fb_buf[0][:need_fb],
+                                       self._fb_buf[1][:need_fb])
+            self._fb_buf = [b[need_fb:] for b in self._fb_buf]
+
+    def current(self) -> StreamResult:
+        movs, di, odg = self._read(self.state)
+        movs = np.asarray(movs)
+        return StreamResult(
+            odg=float(odg), di=float(di),
+            movs={n: float(v) for n, v in zip(C.MOV_ADVANCED_NAMES, movs)})
+
+    def finalize(self) -> StreamResult:
+        if not self._finalized:
+            from ..ops import framing
+            n_fft = framing.num_frames(
+                self._fft_buf[0].shape[0], self._fft_buf[1].shape[0],
+                C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+            if n_fft > 0:
+                r = framing.pad_signal(self._fft_buf[0], n_fft,
+                                       C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+                t = framing.pad_signal(self._fft_buf[1], n_fft,
+                                       C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+                self.state = self._fft_step(self.state, r, t)
+            n_fb = framing.num_frames(
+                self._fb_buf[0].shape[0], self._fb_buf[1].shape[0],
+                C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+            if n_fb > 0:
+                r = framing.pad_signal(self._fb_buf[0], n_fb,
+                                       C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+                t = framing.pad_signal(self._fb_buf[1], n_fb,
+                                       C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+                self.state = self._fb_step(self.state, r, t)
+            z = np.zeros((0, self._channels), np.float32)
+            self._fft_buf = [z, z.copy()]
+            self._fb_buf = [z.copy(), z.copy()]
             self._finalized = True
         return self.current()

@@ -5,7 +5,7 @@ import pytest
 
 from gstpeaq_tpu import api
 from gstpeaq_tpu import constants as C
-from gstpeaq_tpu.parallel.stream import PeaqStream
+from gstpeaq_tpu.parallel.stream import PeaqStream, PeaqStreamAdvanced
 from gstpeaq_tpu.utils import testsignals as TS
 
 
@@ -40,6 +40,45 @@ def test_stream_queryable_mid_stream():
     assert np.isfinite(mid.di)
     res = s.finalize()
     assert np.isfinite(res.odg)
+
+
+@pytest.mark.slow
+def test_stream_advanced_equals_whole_signal():
+    n = 60 * 1024
+    sa, tr = TS.saw(n), TS.triangle(n)
+    want = api.peaq(sa, tr, advanced=True)
+    s = PeaqStreamAdvanced(channels=1, chunk_frames=16)
+    rng = np.random.default_rng(0)
+    pos = 0
+    while pos < n:
+        step = int(rng.integers(1000, 30000))
+        s.feed(sa[pos:pos + step], tr[pos:pos + step])
+        pos += step
+    res = s.finalize()
+    assert abs(res.odg - want.odg) < 1e-10
+    for name in C.MOV_ADVANCED_NAMES:
+        w, g = want.movs[name], res.movs[name]
+        assert abs(g - w) <= 1e-7 * (1 + abs(w)), (name, g, w)
+
+
+def test_stream_state_checkpoint_roundtrip(tmp_path):
+    """The stream state is a savable pytree: checkpoint/resume gives
+    identical results."""
+    import jax
+    n = 50 * 1024
+    sa, tr = TS.saw(n), TS.triangle(n)
+    s1 = PeaqStream(channels=1, chunk_frames=8)
+    s1.feed(sa[:30 * 1024], tr[:30 * 1024])
+    # checkpoint to host numpy and restore into a fresh stream
+    snapshot = jax.tree.map(np.asarray, s1.state)
+    s2 = PeaqStream(channels=1, chunk_frames=8)
+    s2.state = jax.tree.map(lambda x: x, snapshot)
+    s2._buf_ref = s1._buf_ref.copy()
+    s2._buf_test = s1._buf_test.copy()
+    s1.feed(sa[30 * 1024:], tr[30 * 1024:])
+    s2.feed(sa[30 * 1024:], tr[30 * 1024:])
+    r1, r2 = s1.finalize(), s2.finalize()
+    assert r1.odg == r2.odg
 
 
 def test_stream_tentative_trailing_silence():

@@ -22,18 +22,25 @@ for i in range(len(refs)):
     refs[i] = refs[i] * am + 3e-4 * rng.standard_normal(refs[i].shape).astype(np.float32)
     tests[i] = tests[i] * am + 3e-4 * rng.standard_normal(refs[i].shape).astype(np.float32)
 
-# TPU f32
-f32 = [api.peaq(r, x, dtype="float32") for r, x in zip(refs, tests)]
-print("TPU f32 ODGs:", [round(r.odg, 5) for r in f32], flush=True)
+from gstpeaq_tpu.parallel import batch as B
+from gstpeaq_tpu import constants as CC
+
+refs8 = refs + refs
+tests8 = tests + tests
+
+# TPU f32 via the cached microbatch-8 / bucket-512 program
+out32 = B.peaq_batch(refs8, tests8, dtype="float32", microbatch=8)
+print("TPU f32 ODGs:", np.round(out32["odg"][:4], 5), flush=True)
 
 # CPU f64
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-api._jitted_basic.cache_clear()
-f64 = [api.peaq(r, x, dtype="float64") for r, x in zip(refs, tests)]
-print("CPU f64 ODGs:", [round(r.odg, 5) for r in f64], flush=True)
-print("max |dODG|:", max(abs(a.odg - b.odg) for a, b in zip(f32, f64)))
-for k in f32[0].movs:
-    d = max(abs(a.movs[k] - b.movs[k]) / (abs(b.movs[k]) + 1e-30)
-            for a, b in zip(f32, f64))
+B._jitted_basic_batch.cache_clear()
+out64 = B.peaq_batch(refs8, tests8, dtype="float64", microbatch=8)
+print("CPU f64 ODGs:", np.round(out64["odg"][:4], 5), flush=True)
+print("max |dODG|:",
+      np.max(np.abs(out32["odg"][:4] - out64["odg"][:4])), flush=True)
+for i, k in enumerate(CC.MOV_BASIC_NAMES):
+    d = np.max(np.abs(out32["movs"][:4, i] - out64["movs"][:4, i])
+               / (np.abs(out64["movs"][:4, i]) + 1e-30))
     print(f"  {k}: max rel {d:.2e}")
