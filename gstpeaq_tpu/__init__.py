@@ -11,4 +11,24 @@ __version__ = "0.1.0"
 
 from .constants import Settings, DEFAULT_SETTINGS  # noqa: F401
 
-__all__ = ["Settings", "DEFAULT_SETTINGS", "__version__"]
+
+def peaq(*args, **kwargs):
+    """See gstpeaq_tpu.api.peaq (lazy import to keep CLI startup fast)."""
+    from . import api
+    return api.peaq(*args, **kwargs)
+
+
+def peaq_batch(*args, **kwargs):
+    """See gstpeaq_tpu.parallel.batch.peaq_batch."""
+    from .parallel import batch
+    return batch.peaq_batch(*args, **kwargs)
+
+
+def peaq_sharded(*args, **kwargs):
+    """See gstpeaq_tpu.parallel.shard.peaq_sharded."""
+    from .parallel import shard
+    return shard.peaq_sharded(*args, **kwargs)
+
+
+__all__ = ["Settings", "DEFAULT_SETTINGS", "__version__", "peaq",
+           "peaq_batch", "peaq_sharded"]

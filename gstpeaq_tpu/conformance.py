@@ -67,23 +67,27 @@ def data_dir() -> str | None:
 
 
 def run(advanced: bool = False, dtype: str | None = None,
-        directory: str | None = None) -> list[ConformanceRow]:
+        directory: str | None = None,
+        settings=None) -> list[ConformanceRow]:
     """Run all 16 items; raises FileNotFoundError if the dataset is absent."""
     from . import api
-    from .utils import wavio
+    from . import constants as C
+    from .utils import native
 
     d = directory or data_dir()
     if d is None:
         raise FileNotFoundError(
             "CONFORMANCEDATADIR not set or missing (the BS.1387 dataset is "
             "proprietary and not distributed with this repository)")
+    settings = settings or C.DEFAULT_SETTINGS
     table = CONFORMANCE_ADVANCED if advanced else CONFORMANCE_BASIC
     rows = []
     for item, (itu_di, blessed_di) in table.items():
-        ref = wavio.load_audio_48k(os.path.join(
+        ref = native.load_audio_48k(os.path.join(
             d, item.replace("cod", "ref") + ".wav"))
-        test = wavio.load_audio_48k(os.path.join(d, item + ".wav"))
-        res = api.peaq(ref, test, advanced=advanced, dtype=dtype)
+        test = native.load_audio_48k(os.path.join(d, item + ".wav"))
+        res = api.peaq(ref, test, advanced=advanced, dtype=dtype,
+                       settings=settings)
         rows.append(ConformanceRow(item=item, di=res.di, odg=res.odg,
                                    itu_di=itu_di, blessed_di=blessed_di))
     return rows
