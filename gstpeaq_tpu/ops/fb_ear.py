@@ -96,23 +96,38 @@ def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray, state=None,
     """
     dtype = v.dtype
     cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
-    disc = np.sqrt(complex(a1 * a1 + 4.0 * a2))
+    disc2 = a1 * a1 + 4.0 * a2
+    s_p, s_m = state if state is not None else (None, None)
+    if disc2 < 0:
+        # complex-conjugate pair: u_m = conj(u_p) for real input, so one
+        # complex scan suffices: y = 2 Re(g_p * u_p)
+        disc = complex(0.0, np.sqrt(-disc2))
+        lam_p = (a1 + disc) / 2.0
+        g_p = lam_p / (lam_p - np.conj(lam_p))
+        u_p = iir.linear_recurrence(
+            jnp.broadcast_to(jnp.asarray(lam_p, cdtype), v.shape),
+            v.astype(cdtype), axis=-1, y0=s_p)
+        y = 2.0 * jnp.real(jnp.asarray(g_p, cdtype) * u_p).astype(dtype)
+        if return_state:
+            return y, (u_p[..., -1], jnp.conj(u_p[..., -1]))
+        return y
+    # real distinct poles: two real scans
+    disc = np.sqrt(disc2)
     lam_p = (a1 + disc) / 2.0
     lam_m = (a1 - disc) / 2.0
     g_p = lam_p / (lam_p - lam_m)
     g_m = lam_m / (lam_m - lam_p)
-    vc = v.astype(cdtype)
-    s_p, s_m = state if state is not None else (None, None)
+    s_p = jnp.real(s_p).astype(dtype) if s_p is not None else None
+    s_m = jnp.real(s_m).astype(dtype) if s_m is not None else None
     u_p = iir.linear_recurrence(
-        jnp.broadcast_to(jnp.asarray(lam_p, cdtype), v.shape), vc, axis=-1,
+        jnp.broadcast_to(jnp.asarray(lam_p, dtype), v.shape), v, axis=-1,
         y0=s_p)
     u_m = iir.linear_recurrence(
-        jnp.broadcast_to(jnp.asarray(lam_m, cdtype), v.shape), vc, axis=-1,
+        jnp.broadcast_to(jnp.asarray(lam_m, dtype), v.shape), v, axis=-1,
         y0=s_m)
-    y = (jnp.asarray(g_p, cdtype) * u_p + jnp.asarray(g_m, cdtype) * u_m)
-    y = jnp.real(y).astype(dtype)
+    y = g_p * u_p + g_m * u_m
     if return_state:
-        return y, (u_p[..., -1], u_m[..., -1])
+        return y, (u_p[..., -1].astype(cdtype), u_m[..., -1].astype(cdtype))
     return y
 
 
@@ -148,27 +163,47 @@ def filter_bank(k: FBEarConsts, hp2: jnp.ndarray, history=None):
     """Strided complex FIR bank; src/fbearmodel.c:398-435.
 
     hp2: [..., T] DC-filtered signal (T divisible by 32).  Output evaluated
-    at every 32nd sample: fb(t)[band] = sum_lag h[band, lag] x[t-lag].
+    at every 32nd sample: fb(t)[band] = sum_lag h[band, lag] x[t-lag],
+    lag in [0, 1455] (the coefficient layout in h_folded is lag-reversed,
+    i.e. h_folded[:, s] is the coefficient for lag 1455 - s).
     `history`: [..., 1455] previous samples (streaming); zeros when None.
     Returns (re, im): [..., I, 40] with I = T / 32.
+
+    Implementation: XLA's strided-conv lowering runs this at <1 TFLOP/s, so
+    the kernel (zero-padded to 1472 lags) is split into 46 aligned 32-sample
+    blocks and evaluated as 46 accumulated [N*I, 32] @ [32, 80] GEMMs over
+    contiguous views of the padded signal — block-Toeplitz matmul on the MXU.
     """
     dtype = hp2.dtype
     lead = hp2.shape[:-1]
     t = hp2.shape[-1]
+    n_inst = t // C.FB_SUBSAMPLING
     if history is not None:
-        hp2_ext = jnp.concatenate([history, hp2], axis=-1)
-        xp = hp2_ext.reshape(-1, 1, hp2_ext.shape[-1])
+        base = jnp.concatenate([history, hp2], axis=-1)  # [..., T+1455]
     else:
-        x = hp2.reshape(-1, 1, t)
-        # left-pad with the 1455-sample zero history: out[i] covers x[32i-lag]
-        xp = jnp.pad(x, ((0, 0), (0, 0), (C.FB_BUFFER_LENGTH - 1, 0)))
-    kernel = k.h_folded[:, None, :]  # [O=80, I=1, W=1456]
-    out = jax.lax.conv_general_dilated(
-        xp, kernel, window_strides=(C.FB_SUBSAMPLING,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=dtype)
-    out = jnp.moveaxis(out, -1, -2)  # [N, I, 80]
-    out = out.reshape(*lead, out.shape[-2], 80)
+        base = jnp.pad(hp2.reshape(-1, t),
+                       ((0, 0), (C.FB_BUFFER_LENGTH - 1, 0)))
+        base = base.reshape(*lead, t + C.FB_BUFFER_LENGTH - 1)
+    # z[j] = x[j - 1471]; block b of z (ending at x[32(b-45)-1+...]) aligns
+    # windows on 32-sample boundaries.  base starts at x[-1455], so prepend
+    # 16 more zeros (1471 total) and append 1 to close the last block.
+    z = jnp.pad(base.reshape(-1, base.shape[-1]), ((0, 0), (16, 1)))
+    n = z.shape[0]
+    # With z[j] = x[j - 1471] and kpad[:, s] = K[1471 - s] (K zero above lag
+    # 1455), out[i] = sum_s kpad[:, s] * z[32 i + s]: an aligned stride-32
+    # correlation.  Materialize windows as 46 aligned 32-sample blocks
+    # concatenated on the last axis and run ONE [N*I, 1472] @ [1472, 80]
+    # GEMM — a single MXU pass (XLA's strided-conv lowering and per-block
+    # accumulated GEMMs both measured several times slower).
+    kpad = jnp.pad(k.h_folded, ((0, 0), (16, 0)))  # [80, 1472]
+    slabs = [
+        jax.lax.dynamic_slice_in_dim(z, 32 * c, 32 * n_inst,
+                                     axis=-1).reshape(n, n_inst, 32)
+        for c in range(46)
+    ]
+    windows = jnp.concatenate(slabs, axis=-1)       # [n, I, 1472]
+    out = jnp.dot(windows, kpad.T, precision=jax.lax.Precision.HIGHEST)
+    out = out.reshape(*lead, n_inst, 80)
     return out[..., :40], out[..., 40:]
 
 

@@ -1,0 +1,86 @@
+"""Codec-eval sweep: batched ODG for thousands of ref/test pairs.
+
+The BASELINE "Codec-eval sweep" configuration: evaluate a grid of coded
+variants against references, sharded across all available TPU chips
+(pure data parallelism over the pair axis — see parallel/shard.py).
+
+Usage:
+  python tools/codec_sweep.py MANIFEST.tsv [--advanced] [--out results.tsv]
+
+MANIFEST.tsv: one pair per line, "ref_path<TAB>test_path".
+With --demo N, generates N synthetic codec-like pairs instead (for
+benchmarking without data).
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def load_manifest(path):
+    pairs = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            ref, test = line.split("\t")[:2]
+            pairs.append((ref, test))
+    return pairs
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("manifest", nargs="?")
+    parser.add_argument("--advanced", action="store_true")
+    parser.add_argument("--precision", default=None)
+    parser.add_argument("--demo", type=int, default=0,
+                        help="run N synthetic pairs instead of a manifest")
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--microbatch", type=int, default=32)
+    args = parser.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from gstpeaq_tpu.parallel import batch as B
+    from gstpeaq_tpu.utils import native
+
+    if args.demo:
+        import bench as BE
+        names = [f"demo{i}" for i in range(args.demo)]
+        refs, tests = BE.make_pairs(args.demo, 10.0)
+    else:
+        if not args.manifest:
+            parser.error("need MANIFEST or --demo N")
+        pairs = load_manifest(args.manifest)
+        names = [t for _, t in pairs]
+        refs = [native.load_audio_48k(r) for r, _ in pairs]
+        tests = [native.load_audio_48k(t) for _, t in pairs]
+
+    t0 = time.time()
+    out = B.peaq_batch(refs, tests, advanced=args.advanced,
+                       dtype=args.precision, microbatch=args.microbatch)
+    dt = time.time() - t0
+    audio = sum(r.shape[0] for r in refs) / 48000.0
+    print(f"# {len(refs)} pairs, {audio:.0f} audio-sec in {dt:.1f}s "
+          f"({audio/dt:.0f} audio-sec/s)", file=sys.stderr)
+
+    lines = [f"{n}\t{o:.4f}\t{d:.4f}"
+             for n, o, d in zip(names, out["odg"], out["di"])]
+    text = "item\todg\tdi\n" + "\n".join(lines) + "\n"
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
