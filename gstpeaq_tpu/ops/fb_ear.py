@@ -104,9 +104,8 @@ def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray, state=None,
         disc = complex(0.0, np.sqrt(-disc2))
         lam_p = (a1 + disc) / 2.0
         g_p = lam_p / (lam_p - np.conj(lam_p))
-        u_p = iir.linear_recurrence(
-            jnp.broadcast_to(jnp.asarray(lam_p, cdtype), v.shape),
-            v.astype(cdtype), axis=-1, y0=s_p)
+        u_p = iir.linear_recurrence_blocked(
+            jnp.asarray(lam_p, cdtype), v.astype(cdtype), y0=s_p)
         y = 2.0 * jnp.real(jnp.asarray(g_p, cdtype) * u_p).astype(dtype)
         if return_state:
             return y, (u_p[..., -1], jnp.conj(u_p[..., -1]))
@@ -119,12 +118,10 @@ def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray, state=None,
     g_m = lam_m / (lam_m - lam_p)
     s_p = jnp.real(s_p).astype(dtype) if s_p is not None else None
     s_m = jnp.real(s_m).astype(dtype) if s_m is not None else None
-    u_p = iir.linear_recurrence(
-        jnp.broadcast_to(jnp.asarray(lam_p, dtype), v.shape), v, axis=-1,
-        y0=s_p)
-    u_m = iir.linear_recurrence(
-        jnp.broadcast_to(jnp.asarray(lam_m, dtype), v.shape), v, axis=-1,
-        y0=s_m)
+    u_p = iir.linear_recurrence_blocked(
+        jnp.asarray(lam_p, dtype), v, y0=s_p)
+    u_m = iir.linear_recurrence_blocked(
+        jnp.asarray(lam_m, dtype), v, y0=s_m)
     y = g_p * u_p + g_m * u_m
     if return_state:
         return y, (u_p[..., -1].astype(cdtype), u_m[..., -1].astype(cdtype))
@@ -191,19 +188,21 @@ def filter_bank(k: FBEarConsts, hp2: jnp.ndarray, history=None):
     n = z.shape[0]
     # With z[j] = x[j - 1471] and kpad[:, s] = K[1471 - s] (K zero above lag
     # 1455), out[i] = sum_s kpad[:, s] * z[32 i + s]: an aligned stride-32
-    # correlation.  Materialize windows as 46 aligned 32-sample blocks
-    # concatenated on the last axis and run ONE [N*I, 1472] @ [1472, 80]
-    # GEMM — a single MXU pass (XLA's strided-conv lowering and per-block
-    # accumulated GEMMs both measured several times slower).
+    # correlation.  Reshaping z into 32-sample blocks turns it into a plain
+    # stride-1 convolution over the block axis (window 46, 32 features in,
+    # 80 out) — XLA implicit-GEMMs this without materializing windows;
+    # measured 5x faster than a materialized [N*I, 1472] GEMM and 9x faster
+    # than the original sample-domain strided conv.
     kpad = jnp.pad(k.h_folded, ((0, 0), (16, 0)))  # [80, 1472]
-    slabs = [
-        jax.lax.dynamic_slice_in_dim(z, 32 * c, 32 * n_inst,
-                                     axis=-1).reshape(n, n_inst, 32)
-        for c in range(46)
-    ]
-    windows = jnp.concatenate(slabs, axis=-1)       # [n, I, 1472]
-    out = jnp.dot(windows, kpad.T, precision=jax.lax.Precision.HIGHEST)
-    out = out.reshape(*lead, n_inst, 80)
+    m = z.shape[-1] // 32
+    blocks = z.reshape(n, m, 32)
+    k2 = kpad.reshape(80, 46, 32).transpose(1, 2, 0)  # [46, 32, 80]
+    out = jax.lax.conv_general_dilated(
+        blocks, k2, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST)
+    out = out[:, :n_inst].reshape(*lead, n_inst, 80)
     return out[..., :40], out[..., 40:]
 
 
@@ -216,9 +215,12 @@ def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
     s = jnp.maximum(4.0, 24.0 + 230.0 / k.fc - 0.2 * level)
     dist_s = C.DIST ** s
     a = 1.0 - C.SLOPE_FILTER_A
-    cu = iir.linear_recurrence(
-        jnp.full_like(dist_s, a), C.SLOPE_FILTER_A * dist_s, axis=-2,
-        y0=cu_state)
+    # instants axis is long (1500/s): blocked recurrence over it (move the
+    # instants axis last, bands stay a leading axis)
+    cu = jnp.moveaxis(iir.linear_recurrence_blocked(
+        jnp.asarray(a, dist_s.dtype),
+        jnp.moveaxis(C.SLOPE_FILTER_A * dist_s, -2, -1),
+        y0=cu_state), -1, -2)
     # upper spreading U[i, j] = cu[i]^(j-i) for j > i (+ identity), applied
     # in static destination-band blocks (unrolled; see fft_ear.spread for
     # why neither lax.scan nor one big einsum is used)
