@@ -12,6 +12,7 @@ first-order recurrence solved with an associative scan over the frame axis.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -70,7 +71,8 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
     # while the MXU eats a [N, 2048] @ [2048, 2050] GEMM; folding the Hann
     # window into the DFT matrix also removes one full pass over the frames.
     if use_dft_gemm is None:
-        use_dft_gemm = spectrum_dtype == jnp.float32
+        use_dft_gemm = (spectrum_dtype == jnp.float32
+                        or jax.default_backend() != "cpu")
     dft = None
     if use_dft_gemm:
         n = C.FFT_FRAMESIZE
@@ -103,13 +105,38 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
     )
 
 
+def _use_dft_fallback(dtype) -> bool:
+    """f64 FFTs (C128) are unsupported on TPU; fall back to DFT matmuls."""
+    return (jnp.dtype(dtype) == jnp.float64
+            and jax.default_backend() != "cpu")
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_mats(n: int, dtype_name: str):
+    kk = np.arange(n // 2 + 1)
+    nn = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(nn, kk) / n
+    fwd_re = jnp.asarray(np.cos(ang), dtype_name)      # [n, n/2+1]
+    fwd_im = jnp.asarray(np.sin(ang), dtype_name)
+    # inverse real DFT: x[m] = (1/n) sum_k w_k (re_k cos + im_k ... ) with
+    # w_k = 1 for k in {0, n/2}, else 2
+    w = np.where((kk == 0) | (kk == n // 2), 1.0, 2.0) / n
+    inv_re = jnp.asarray((np.cos(ang) * w).T, dtype_name)   # [n/2+1, n]
+    inv_im = jnp.asarray((np.sin(ang) * w).T, dtype_name)
+    return fwd_re, fwd_im, inv_re, inv_im
+
+
 def rfft_flat(x: jnp.ndarray) -> jnp.ndarray:
     """rfft over the last axis with leading dims flattened to one batch dim.
 
     The TPU backend compiles N-d-batched FFTs pathologically slowly (minutes
-    for 5-d inputs vs seconds for 2-d); the flatten/unflatten is free.
+    for 5-d inputs vs seconds for 2-d); the flatten/unflatten is free.  In
+    f64 on TPU (no C128 support) the transform runs as two DFT matmuls.
     """
     shape = x.shape
+    if _use_dft_fallback(x.dtype):
+        fr, fi, _, _ = _dft_mats(shape[-1], str(x.dtype))
+        return jax.lax.complex(x @ fr, x @ fi)
     out = jnp.fft.rfft(x.reshape(-1, shape[-1]))
     return out.reshape(*shape[:-1], shape[-1] // 2 + 1)
 
@@ -118,6 +145,9 @@ def irfft_flat(x: jnp.ndarray) -> jnp.ndarray:
     """irfft over the last axis with leading dims flattened (see rfft_flat)."""
     shape = x.shape
     n = 2 * (shape[-1] - 1)
+    if _use_dft_fallback(jnp.real(x).dtype):
+        _, _, ir, ii = _dft_mats(n, str(jnp.real(x).dtype))
+        return jnp.real(x) @ ir - jnp.imag(x) @ (-ii)
     out = jnp.fft.irfft(x.reshape(-1, shape[-1]))
     return out.reshape(*shape[:-1], n)
 
