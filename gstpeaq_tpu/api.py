@@ -58,9 +58,10 @@ def _jitted_basic(n_frames: int, channels: int, playback_level: float,
     import jax
     from .models import basic
     dtype, sdtype = resolve_dtypes(dtype_name)
-    pipe = basic.make_pipeline(C.BASIC_BAND_COUNT, playback_level, settings,
-                               dtype, sdtype)
-    return jax.jit(pipe)
+    pipe, consts = basic.make_pipeline(C.BASIC_BAND_COUNT, playback_level,
+                                       settings, dtype, sdtype)
+    jfn = jax.jit(pipe)
+    return lambda *args: jfn(consts, *args)
 
 
 @functools.lru_cache(maxsize=32)
@@ -70,8 +71,10 @@ def _jitted_advanced(n_fft_frames: int, n_fb_frames: int, channels: int,
     import jax
     from .models import advanced
     dtype, sdtype = resolve_dtypes(dtype_name)
-    pipe = advanced.make_pipeline(playback_level, settings, dtype, sdtype)
-    return jax.jit(pipe)
+    pipe, consts = advanced.make_pipeline(playback_level, settings, dtype,
+                                          sdtype)
+    jfn = jax.jit(pipe)
+    return lambda *args: jfn(consts, *args)
 
 
 def default_dtype() -> str:

@@ -45,14 +45,16 @@ def make_pipeline(playback_level: float = 92.0,
     """
     sdtype = spectrum_dtype or dtype
     fft_params = EP.fft_ear_params(C.ADVANCED_FFT_BAND_COUNT, playback_level)
-    kf = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype)
+    kf0 = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype)
     fb_params = EP.fb_ear_params(playback_level)
-    kb = FB.build_consts(fb_params, dtype=dtype, spectrum_dtype=sdtype)
-    avg_matrix = jnp.asarray(
+    kb0 = FB.build_consts(fb_params, dtype=dtype, spectrum_dtype=sdtype)
+    avg_matrix0 = jnp.asarray(
         level_adapt.sliding_average_matrix(C.FB_BAND_COUNT), dtype=dtype)
+    consts = (kf0, kb0, avg_matrix0)
 
-    def pipeline(ref_fft, test_fft, ref_fb, test_fb,
+    def pipeline(consts, ref_fft, test_fft, ref_fb, test_fb,
                  valid_fft=None, valid_fb=None) -> AdvancedOutputs:
+        kf, kb, avg_matrix = consts
         # ------------------ FFT path: SegmentalNMR + EHS ------------------
         n_fft = ref_fft.shape[0] // C.FFT_STEPSIZE - 1
         rframes = framing.frames_overlap50(ref_fft, n_fft)   # [F,CH,2048]
@@ -168,4 +170,4 @@ def make_pipeline(playback_level: float = 92.0,
                                total_signal_energy=rsum,
                                total_noise_energy=nsum)
 
-    return pipeline
+    return pipeline, consts

@@ -54,12 +54,16 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
     """
     sdtype = spectrum_dtype or dtype
     params = EP.fft_ear_params(band_count, playback_level)
-    k = FE.build_consts(params, dtype=dtype, spectrum_dtype=sdtype)
-    avg_matrix = jnp.asarray(
+    k0 = FE.build_consts(params, dtype=dtype, spectrum_dtype=sdtype)
+    avg_matrix0 = jnp.asarray(
         level_adapt.sliding_average_matrix(band_count), dtype=dtype)
+    consts = (k0, avg_matrix0)
 
-    def pipeline(ref_sig: jnp.ndarray, test_sig: jnp.ndarray,
+    def pipeline(consts, ref_sig: jnp.ndarray, test_sig: jnp.ndarray,
                  valid_frames=None) -> BasicOutputs:
+        # consts passed as a pytree ARGUMENT: closure constants (16 MB DFT
+        # matrix) inline into the HLO and slow compiles ~60x on this backend
+        k, avg_matrix = consts
         n_frames = ref_sig.shape[0] // C.FFT_STEPSIZE - 1
         ref_frames = framing.frames_overlap50(ref_sig, n_frames)   # [F,CH,2048]
         test_frames = framing.frames_overlap50(test_sig, n_frames)
@@ -160,4 +164,4 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
                             total_signal_energy=rsum,
                             total_noise_energy=nsum)
 
-    return pipeline
+    return pipeline, consts

@@ -48,6 +48,25 @@ class FBEarConsts:
     band_count: int
 
 
+_FB_LEAF_FIELDS = (
+    "h_folded", "back_mask", "internal_noise", "ear_a", "adapt_a", "fc",
+    "lower_matrix", "level_factor", "threshold", "excitation_threshold",
+    "loudness_factor")
+
+
+def _fb_consts_flatten(k):
+    return (tuple(getattr(k, f) for f in _FB_LEAF_FIELDS), (k.band_count,))
+
+
+def _fb_consts_unflatten(aux, children):
+    kwargs = dict(zip(_FB_LEAF_FIELDS, children))
+    return FBEarConsts(band_count=aux[0], **kwargs)
+
+
+jax.tree_util.register_pytree_node(
+    FBEarConsts, _fb_consts_flatten, _fb_consts_unflatten)
+
+
 def build_consts(params: EP.FBEarParams, dtype=jnp.float64,
                  spectrum_dtype=None) -> FBEarConsts:
     """`dtype` = band-domain type (spreading, masking, 40-band arrays);

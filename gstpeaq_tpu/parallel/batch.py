@@ -30,9 +30,10 @@ def _jitted_basic_batch(playback_level: float, settings: C.Settings,
     from .. import api
     from ..models import basic
     dtype, sdtype = api.resolve_dtypes(dtype_name)
-    pipe = basic.make_pipeline(
+    pipe, consts = basic.make_pipeline(
         C.BASIC_BAND_COUNT, playback_level, settings, dtype, sdtype)
-    return jax.jit(jax.vmap(pipe))
+    jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0)))
+    return lambda *args: jfn(consts, *args)
 
 
 @functools.lru_cache(maxsize=16)
@@ -42,8 +43,10 @@ def _jitted_advanced_batch(playback_level: float, settings: C.Settings,
     from .. import api
     from ..models import advanced
     dtype, sdtype = api.resolve_dtypes(dtype_name)
-    pipe = advanced.make_pipeline(playback_level, settings, dtype, sdtype)
-    return jax.jit(jax.vmap(pipe))
+    pipe, consts = advanced.make_pipeline(playback_level, settings, dtype,
+                                          sdtype)
+    jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0, 0, 0, 0)))
+    return lambda *args: jfn(consts, *args)
 
 
 def _pad_pairwise(refs, tests, n_bucket, frame_size, step_size):

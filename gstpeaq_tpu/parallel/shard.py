@@ -37,15 +37,24 @@ def _jitted_sharded(advanced: bool, playback_level: float,
     dtype, sdtype = api.resolve_dtypes(dtype_name)
     if advanced:
         from ..models import advanced as mod
-        pipe = mod.make_pipeline(playback_level, settings, dtype, sdtype)
+        pipe, consts = mod.make_pipeline(playback_level, settings, dtype,
+                                         sdtype)
+        in_axes = (None, 0, 0, 0, 0, 0, 0)
     else:
         from ..models import basic as mod
-        pipe = mod.make_pipeline(C.BASIC_BAND_COUNT, playback_level, settings,
-                                 dtype, sdtype)
-    batched = jax.vmap(pipe)
+        pipe, consts = mod.make_pipeline(C.BASIC_BAND_COUNT, playback_level,
+                                         settings, dtype, sdtype)
+        in_axes = (None, 0, 0, 0)
+    batched = jax.vmap(pipe, in_axes=in_axes)
     data_sharding = NamedSharding(mesh, P(PAIR_AXIS))
-    return jax.jit(batched, in_shardings=data_sharding,
-                   out_shardings=NamedSharding(mesh, P(PAIR_AXIS)))
+    rep = NamedSharding(mesh, P())
+    consts_shardings = jax.tree.map(lambda _: rep, consts)
+    n_data = len(in_axes) - 1
+    jfn = jax.jit(
+        batched,
+        in_shardings=(consts_shardings,) + (data_sharding,) * n_data,
+        out_shardings=NamedSharding(mesh, P(PAIR_AXIS)))
+    return lambda *args: jfn(consts, *args)
 
 
 _MESHES: dict[int, object] = {}

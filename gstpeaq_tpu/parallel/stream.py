@@ -44,9 +44,10 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
 
     dtype, sdtype = api.resolve_dtypes(dtype_name)
     params = EP.fft_ear_params(C.BASIC_BAND_COUNT, playback_level)
-    k = FE.build_consts(params, dtype=dtype, spectrum_dtype=sdtype)
-    avg_matrix = jnp.asarray(
+    k0 = FE.build_consts(params, dtype=dtype, spectrum_dtype=sdtype)
+    avg_matrix0 = jnp.asarray(
         level_adapt.sliding_average_matrix(C.BASIC_BAND_COUNT), dtype=dtype)
+    consts = (k0, avg_matrix0)
 
     def init_state(channels: int):
         z = C.BASIC_BAND_COUNT
@@ -76,8 +77,9 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
             "noise_energy": f(),
         }
 
-    def chunk_step(state, ref_sig, test_sig):
+    def chunk_step(consts, state, ref_sig, test_sig):
         """Process one chunk.  ref/test_sig: [(Fc+1)*1024, CH] float32."""
+        k, avg_matrix = consts
         n_frames = ref_sig.shape[0] // C.FFT_STEPSIZE - 1
         ref_frames = framing.frames_overlap50(ref_sig, n_frames)
         test_frames = framing.frames_overlap50(test_sig, n_frames)
@@ -252,7 +254,7 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         di = nn.di_basic(mov_vec, settings.clamp_movs)
         return mov_vec, di, nn.odg(di)
 
-    return init_state, chunk_step, read_movs
+    return init_state, chunk_step, read_movs, consts
 
 
 # ---------------------------------------------------------------------------
@@ -271,11 +273,12 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
 
     dtype, sdtype = api.resolve_dtypes(dtype_name)
     fft_params = EP.fft_ear_params(C.ADVANCED_FFT_BAND_COUNT, playback_level)
-    kf = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype)
+    kf0 = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype)
     fb_params = EP.fb_ear_params(playback_level)
-    kb = FB.build_consts(fb_params, dtype=dtype, spectrum_dtype=sdtype)
-    avg_matrix = jnp.asarray(
+    kb0 = FB.build_consts(fb_params, dtype=dtype, spectrum_dtype=sdtype)
+    avg_matrix0 = jnp.asarray(
         level_adapt.sliding_average_matrix(C.FB_BAND_COUNT), dtype=dtype)
+    consts = (kf0, kb0, avg_matrix0)
 
     def f(*s):
         return jnp.zeros(s, dtype)
@@ -341,9 +344,10 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
                 any_above, entry["all2"] + p2[t_last], entry["committed2"])
         return out
 
-    def fft_chunk_step(state, ref_sig, test_sig):
+    def fft_chunk_step(consts, state, ref_sig, test_sig):
         """FFT path chunk: SegmentalNMR + EHS.
         ref/test_sig: [(Fc+1)*1024, CH]."""
+        kf, kb, avg_matrix = consts
         n_frames = ref_sig.shape[0] // C.FFT_STEPSIZE - 1
         ref_frames = framing.frames_overlap50(ref_sig, n_frames)
         test_frames = framing.frames_overlap50(test_sig, n_frames)
@@ -383,9 +387,10 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
             noise_energy=state["noise_energy"] + jnp.sum(nhalf ** 2))
         return new_state
 
-    def fb_chunk_step(state, ref_sig, test_sig):
+    def fb_chunk_step(consts, state, ref_sig, test_sig):
         """FB path chunk: RmsModDiffA / RmsNoiseLoudAsymA / AvgLinDistA.
         ref/test_sig: [Fc*192, CH]."""
+        kf, kb, avg_matrix = consts
         n_fb = ref_sig.shape[0] // C.FB_FRAMESIZE
         above = framing.above_threshold_signal(
             ref_sig.astype(sdtype), n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
@@ -486,7 +491,7 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
         di = nn.di_advanced(mov_vec, settings.clamp_movs)
         return mov_vec, di, nn.odg(di)
 
-    return init_state, fft_chunk_step, fb_chunk_step, read_movs
+    return init_state, fft_chunk_step, fb_chunk_step, read_movs, consts
 
 
 # ---------------------------------------------------------------------------
@@ -521,13 +526,14 @@ class PeaqStream:
 
         from .. import api
         dtype = dtype or api.default_dtype()
-        init_state, chunk_step, read_movs = _make_basic_chunk_step(
+        init_state, chunk_step, read_movs, consts = _make_basic_chunk_step(
             playback_level, settings, dtype)
         self._channels = channels
         self._chunk_frames = chunk_frames
         self._chunk_samples = chunk_frames * C.FFT_STEPSIZE
         self.state = init_state(channels)
-        self._step = jax.jit(chunk_step)
+        _jstep = jax.jit(chunk_step)
+        self._step = lambda *args: _jstep(consts, *args)
         self._read = jax.jit(read_movs)
         self._buf_ref = np.zeros((0, channels), np.float32)
         self._buf_test = np.zeros((0, channels), np.float32)
@@ -592,14 +598,16 @@ class PeaqStreamAdvanced:
 
         from .. import api
         dtype = dtype or api.default_dtype()
-        init_state, fft_step, fb_step, read_movs = _make_advanced_chunk_steps(
-            playback_level, settings, dtype)
+        (init_state, fft_step, fb_step, read_movs,
+         consts) = _make_advanced_chunk_steps(playback_level, settings, dtype)
         self._channels = channels
         self._fft_chunk = chunk_frames * C.FFT_STEPSIZE
         self._fb_frames = chunk_frames * 16  # ~same audio span
         self.state = init_state(channels)
-        self._fft_step = jax.jit(fft_step)
-        self._fb_step = jax.jit(fb_step)
+        _jfft = jax.jit(fft_step)
+        _jfb = jax.jit(fb_step)
+        self._fft_step = lambda *args: _jfft(consts, *args)
+        self._fb_step = lambda *args: _jfb(consts, *args)
         self._read = jax.jit(read_movs)
         z = np.zeros((0, channels), np.float32)
         self._fft_buf = [z, z.copy()]
