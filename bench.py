@@ -58,12 +58,15 @@ def bench(advanced: bool, batch: int, seconds: float, dtype: str,
         fn = B._jitted_advanced_batch(92.0, C.DEFAULT_SETTINGS, dtype)
     else:
         fn = B._jitted_basic_batch(92.0, C.DEFAULT_SETTINGS, dtype)
-    fn(*chunks[0]).odg.block_until_ready()  # compile + warm up
+    np.asarray(fn(*chunks[0]).odg)  # compile + warm up
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         outs = [fn(*ch) for ch in chunks]
-        outs[-1].odg.block_until_ready()
+        # host-materialize every chunk's result: block_until_ready() does
+        # not reliably synchronize on this backend (see CLAUDE.md)
+        for o in outs:
+            np.asarray(o.odg)
         times.append(time.perf_counter() - t0)
     best = min(times)
     return batch * seconds / best
