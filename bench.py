@@ -112,7 +112,7 @@ def main() -> None:
                   f"({adv_rate / batch:.0f}x realtime/pair)", file=sys.stderr)
         except Exception as exc:  # pragma: no cover
             print(f"# advanced bench failed: {exc}", file=sys.stderr)
-    if on_tpu and time.time() - t_start < 420:
+    if on_tpu and time.time() - t_start < 240:
         try:
             mixed_rate = bench(False, batch, seconds, "mixed", iters=3,
                                microbatch=8)
