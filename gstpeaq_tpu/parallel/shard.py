@@ -26,9 +26,17 @@ def default_mesh(devices=None):
     return Mesh(np.asarray(devices), (PAIR_AXIS,))
 
 
+def _mesh_key(mesh) -> tuple:
+    """Stable cache key for a mesh: axis names + device ids.  (Keying on
+    id(mesh) can alias a new mesh to a dead one's compiled fn after GC;
+    two meshes over the same devices/axes are interchangeable here.)"""
+    return (tuple(mesh.axis_names),
+            tuple(d.id for d in mesh.devices.flat))
+
+
 @functools.lru_cache(maxsize=16)
 def _jitted_sharded(advanced: bool, playback_level: float,
-                    settings: C.Settings, dtype_name: str, mesh_key: int):
+                    settings: C.Settings, dtype_name: str, mesh_key: tuple):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -57,7 +65,7 @@ def _jitted_sharded(advanced: bool, playback_level: float,
     return lambda *args: jfn(consts, *args)
 
 
-_MESHES: dict[int, object] = {}
+_MESHES: dict[tuple, object] = {}
 
 
 def peaq_sharded(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
@@ -83,7 +91,7 @@ def peaq_sharded(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
         tests = list(tests) + [tests[-1]] * pad
     dtype = dtype or api.default_dtype()
     arrays = B.prepare_batch(refs, tests, advanced, granularity)
-    key = id(mesh)
+    key = _mesh_key(mesh)
     _MESHES[key] = mesh
     fn = _jitted_sharded(advanced, playback_level, settings, dtype, key)
     out = fn(*arrays)
@@ -106,7 +114,7 @@ def train_cognitive_sharded(movs: np.ndarray, target_di: np.ndarray,
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from ..models import nn
 
     mesh = mesh if mesh is not None else default_mesh()
@@ -124,7 +132,7 @@ def train_cognitive_sharded(movs: np.ndarray, target_di: np.ndarray,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(rep, data_spec, data_spec),
-        out_specs=(rep, rep), check_rep=False)
+        out_specs=(rep, rep), check_vma=False)
     def step(params, movs_shard, target_shard):
         return nn.sgd_train_step(params, movs_shard, target_shard, lr,
                                  axis_name=PAIR_AXIS)

@@ -46,3 +46,25 @@ def test_train_cognitive_sharded_decreases_loss():
 def test_dryrun_multichip():
     import __graft_entry__ as G
     G.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_driver_env():
+    """Reproduce the DRIVER's invocation: a fresh subprocess with no conftest
+    and no pre-set XLA_FLAGS, where the sitecustomize-forced TPU backend is
+    registered.  Round 1 failed exactly here (platform switched after the
+    backend had initialized), while the in-process test above passed under
+    conftest's pre-switched CPU mesh — this test closes that blind spot."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as G; G.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (proc.stdout + proc.stderr)[-4000:]
+    assert "metric batch 16 pairs OK" in proc.stdout
