@@ -46,9 +46,13 @@ def main(argv=None) -> int:
     parser.add_argument("--console-output", action="store_true",
                         help="also print the model output variables")
     parser.add_argument("--playback-level", type=float, default=92.0)
-    parser.add_argument("--precision", choices=["float32", "float64"],
+    parser.add_argument("--precision",
+                        choices=["float32", "float64", "mixed"],
                         default=None, help="compute precision (default: "
-                        "float64 on CPU, float32 on TPU)")
+                        "float64 on CPU, mixed on TPU)")
+    parser.add_argument("--totalsnr", action="store_true",
+                        help="also print the overall SNR in dB (the "
+                        "reference's totalsnr element property)")
     parser.add_argument("files", nargs="*", metavar="REFFILE TESTFILE")
     args = parser.parse_args(argv)
 
@@ -75,7 +79,8 @@ def main(argv=None) -> int:
             return 1
 
     res = api.peaq(ref, test, advanced=args.advanced,
-                   playback_level=args.playback_level, dtype=args.precision)
+                   playback_level=args.playback_level, dtype=args.precision,
+                   return_snr=args.totalsnr)
 
     if args.console_output:
         if args.advanced:
@@ -86,6 +91,10 @@ def main(argv=None) -> int:
                 print(f"{label}: {res.movs[name]:f}")
     print(f"Objective Difference Grade: {res.odg:.3f}")
     print(f"Distortion Index: {res.di:.3f}")
+    if args.totalsnr:
+        # reference exposes this as the element's totalsnr property
+        # (src/gstpeaq.c:493-497); printed here since there is no GObject
+        print(f"Total SNR: {res.total_snr_db:.3f} dB")
     return 0
 
 

@@ -46,6 +46,7 @@ class FBEarConsts:
     excitation_threshold: Any
     loudness_factor: Any
     band_count: int
+    swap_slope: bool = False  # settings.h:97 SWAP_SLOPE_FILTER_COEFFICIENTS
 
 
 _FB_LEAF_FIELDS = (
@@ -55,12 +56,13 @@ _FB_LEAF_FIELDS = (
 
 
 def _fb_consts_flatten(k):
-    return (tuple(getattr(k, f) for f in _FB_LEAF_FIELDS), (k.band_count,))
+    return (tuple(getattr(k, f) for f in _FB_LEAF_FIELDS),
+            (k.band_count, k.swap_slope))
 
 
 def _fb_consts_unflatten(aux, children):
     kwargs = dict(zip(_FB_LEAF_FIELDS, children))
-    return FBEarConsts(band_count=aux[0], **kwargs)
+    return FBEarConsts(band_count=aux[0], swap_slope=aux[1], **kwargs)
 
 
 jax.tree_util.register_pytree_node(
@@ -68,9 +70,11 @@ jax.tree_util.register_pytree_node(
 
 
 def build_consts(params: EP.FBEarParams, dtype=jnp.float64,
-                 spectrum_dtype=None) -> FBEarConsts:
+                 spectrum_dtype=None, swap_slope: bool = False) -> FBEarConsts:
     """`dtype` = band-domain type (spreading, masking, 40-band arrays);
-    `spectrum_dtype` = sample-domain type (DC filter, FIR bank conv)."""
+    `spectrum_dtype` = sample-domain type (DC filter, FIR bank conv).
+    `swap_slope` = SWAP_SLOPE_FILTER_COEFFICIENTS (settings.h:97): swap the
+    slope filter's smoothing coefficients vs the BS.1387 pseudo code."""
     spectrum_dtype = spectrum_dtype or dtype
     fs = lambda x: jnp.asarray(x, dtype=spectrum_dtype)
     f = lambda x: jnp.asarray(x, dtype=dtype)
@@ -98,6 +102,7 @@ def build_consts(params: EP.FBEarParams, dtype=jnp.float64,
         excitation_threshold=f(params.excitation_threshold),
         loudness_factor=f(params.loudness_factor),
         band_count=Z,
+        swap_slope=swap_slope,
     )
 
 
@@ -129,8 +134,10 @@ def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray, state=None,
         if return_state:
             return y, (u_p[..., -1], jnp.conj(u_p[..., -1]))
         return y
-    # real distinct poles: two real scans
-    disc = np.sqrt(disc2)
+    # real distinct poles: two real scans.  float() the np scalars: a
+    # strong-typed np.float64 gain would silently promote f32 inputs to
+    # f64 under x64 (broke the mixed-precision advanced path).
+    disc = float(np.sqrt(disc2))
     lam_p = (a1 + disc) / 2.0
     lam_m = (a1 - disc) / 2.0
     g_p = lam_p / (lam_p - lam_m)
@@ -233,12 +240,16 @@ def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
     level = 10.0 * jnp.log10(fb_re * fb_re + fb_im * fb_im)
     s = jnp.maximum(4.0, 24.0 + 230.0 / k.fc - 0.2 * level)
     dist_s = C.DIST ** s
-    a = 1.0 - C.SLOPE_FILTER_A
+    # default (pseudo-code) smoother cu' = cu + A (dist_s - cu); with
+    # SWAP_SLOPE_FILTER_COEFFICIENTS, cu' = dist_s + A (cu - dist_s)
+    # (src/fbearmodel.c:335-339, settings.h:97)
+    decay = C.SLOPE_FILTER_A if k.swap_slope else 1.0 - C.SLOPE_FILTER_A
+    drive = 1.0 - decay
     # instants axis is long (1500/s): blocked recurrence over it (move the
     # instants axis last, bands stay a leading axis)
     cu = jnp.moveaxis(iir.linear_recurrence_blocked(
-        jnp.asarray(a, dist_s.dtype),
-        jnp.moveaxis(C.SLOPE_FILTER_A * dist_s, -2, -1),
+        jnp.asarray(decay, dist_s.dtype),
+        jnp.moveaxis(drive * dist_s, -2, -1),
         y0=cu_state), -1, -2)
     # upper spreading U[i, j] = cu[i]^(j-i) for j > i (+ identity), applied
     # in static destination-band blocks (unrolled; see fft_ear.spread for

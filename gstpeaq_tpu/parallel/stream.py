@@ -275,7 +275,9 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
     fft_params = EP.fft_ear_params(C.ADVANCED_FFT_BAND_COUNT, playback_level)
     kf0 = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype)
     fb_params = EP.fb_ear_params(playback_level)
-    kb0 = FB.build_consts(fb_params, dtype=dtype, spectrum_dtype=sdtype)
+    kb0 = FB.build_consts(
+        fb_params, dtype=dtype, spectrum_dtype=sdtype,
+        swap_slope=settings.swap_slope_filter_coefficients)
     avg_matrix0 = jnp.asarray(
         level_adapt.sliding_average_matrix(C.FB_BAND_COUNT), dtype=dtype)
     consts = (kf0, kb0, avg_matrix0)

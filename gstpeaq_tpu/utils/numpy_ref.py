@@ -111,8 +111,10 @@ def fb_apply_filter_bank(p: EP.FBEarParams, buf: np.ndarray):
 
 
 def fb_ear_process_block(p: EP.FBEarParams, state: FBEarState,
-                         samples: np.ndarray) -> None:
-    """One 192-sample frame; src/fbearmodel.c:275-396."""
+                         samples: np.ndarray,
+                         swap_slope: bool = False) -> None:
+    """One 192-sample frame; src/fbearmodel.c:275-396.  `swap_slope` is
+    SWAP_SLOPE_FILTER_COEFFICIENTS (settings.h:97)."""
     for k in range(C.FB_FRAMESIZE):
         scaled = float(samples[k]) * p.level_factor
         hp1 = (scaled - 2.0 * state.hp1_x1 + state.hp1_x2
@@ -132,7 +134,10 @@ def fb_ear_process_block(p: EP.FBEarParams, state: FBEarState,
             level = 10.0 * np.log10(fb_re ** 2 + fb_im ** 2)
             s = np.maximum(4.0, 24.0 + 230.0 / p.fc - 0.2 * level)
             dist_s = C.DIST ** s
-            state.cu = state.cu + C.SLOPE_FILTER_A * (dist_s - state.cu)
+            if swap_slope:  # src/fbearmodel.c:335-339
+                state.cu = dist_s + C.SLOPE_FILTER_A * (state.cu - dist_s)
+            else:
+                state.cu = state.cu + C.SLOPE_FILTER_A * (dist_s - state.cu)
             for band in range(C.FB_BAND_COUNT):
                 d1 = fb_re[band]
                 d2 = fb_im[band]
@@ -168,11 +173,13 @@ def dc_reject(x: np.ndarray) -> np.ndarray:
     return lfilter(b, [1.0, -C.HP2_A[0], -C.HP2_A[1]], y1)
 
 
-def fb_process_signal(p: EP.FBEarParams, signal: np.ndarray):
+def fb_process_signal(p: EP.FBEarParams, signal: np.ndarray,
+                      swap_slope: bool = False):
     """Whole-signal filter-bank ear model (vectorized NumPy).
 
     Semantically identical to repeated fb_ear_process_block calls on
     consecutive 192-sample frames (signal length must be a multiple of 192).
+    `swap_slope` is SWAP_SLOPE_FILTER_COEFFICIENTS (settings.h:97).
     Returns (excitation[F, 40], unsmeared_excitation[F, 40]).
     """
     n = signal.shape[0]
@@ -203,7 +210,10 @@ def fb_process_signal(p: EP.FBEarParams, signal: np.ndarray):
     cu = np.empty_like(dist_s)
     prev = np.zeros(C.FB_BAND_COUNT)
     for i in range(dist_s.shape[0]):
-        prev = prev + C.SLOPE_FILTER_A * (dist_s[i] - prev)
+        if swap_slope:  # src/fbearmodel.c:335-339
+            prev = dist_s[i] + C.SLOPE_FILTER_A * (prev - dist_s[i])
+        else:
+            prev = prev + C.SLOPE_FILTER_A * (dist_s[i] - prev)
         cu[i] = prev
     # upper spreading: A_up[j] = fb[j] + sum_{i<j} fb[i] cu[i]^(j-i)
     Z = C.FB_BAND_COUNT
@@ -842,8 +852,11 @@ def peaq_advanced(ref: np.ndarray, test: np.ndarray,
     fb_frames = _frames_pair(ref, test, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
     ref_sig = np.concatenate([rf for rf, _ in fb_frames], axis=0)
     test_sig = np.concatenate([tf for _, tf in fb_frames], axis=0)
-    ref_exc = [fb_process_signal(fb, ref_sig[:, c]) for c in range(channels)]
-    test_exc = [fb_process_signal(fb, test_sig[:, c]) for c in range(channels)]
+    swap = settings.swap_slope_filter_coefficients
+    ref_exc = [fb_process_signal(fb, ref_sig[:, c], swap_slope=swap)
+               for c in range(channels)]
+    test_exc = [fb_process_signal(fb, test_sig[:, c], swap_slope=swap)
+                for c in range(channels)]
 
     class _ExcView:
         """Adapts precomputed per-frame excitations to the stateful API."""

@@ -66,3 +66,23 @@ def test_cli_matches_reference_format(tmp_path):
     assert lines[-1].startswith("Distortion Index: ")
     odg = float(lines[-2].split(": ")[1])
     assert -4.0 <= odg <= 0.3
+
+
+@pytest.mark.slow
+def test_cli_precision_mixed_and_totalsnr(tmp_path):
+    """--precision mixed is accepted (docs/peaq.md) and --totalsnr prints
+    the reference's totalsnr property (src/gstpeaq.c:493-497)."""
+    ref = TS.saw(48 * 1024)
+    test = TS.triangle(48 * 1024)
+    rp, tp = str(tmp_path / "r.wav"), str(tmp_path / "t.wav")
+    wavio.write_wav(rp, ref[:, None])
+    wavio.write_wav(tp, test[:, None])
+    proc = subprocess.run(
+        [sys.executable, "-m", "gstpeaq_tpu", "--precision", "mixed",
+         "--totalsnr", rp, tp],
+        capture_output=True, text=True, check=True)
+    lines = proc.stdout.strip().splitlines()
+    assert lines[-1].startswith("Total SNR: ")
+    assert lines[-1].endswith(" dB")
+    snr = float(lines[-1].split(": ")[1].split(" ")[0])
+    assert np.isfinite(snr)

@@ -59,6 +59,21 @@ def test_fb_ear_matches_spec():
     assert rel_err(uns, uns_np) < 1e-7
 
 
+def test_fb_ear_mixed_precision_runs():
+    """Mixed (f32 samples / f64 bands) FB path: dtype promotion regression —
+    a strong-typed np.float64 biquad gain used to promote the f32 conv input
+    to f64 and crash conv_general_dilated."""
+    p = EP.fb_ear_params()
+    k = FB.build_consts(p, dtype=jnp.float64, spectrum_dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    n_frames = 9
+    x = (rng.standard_normal(192 * n_frames) * 0.3).astype(np.float32)
+    exc_np, _ = R.fb_process_signal(p, x)
+    exc, _ = FB.process_signal(k, jnp.asarray(x, jnp.float32), n_frames)
+    assert exc.dtype == jnp.float64  # band domain stays wide
+    assert rel_err(exc, exc_np) < 5e-2  # f32 front-end, loose gate
+
+
 def test_fb_loudness_golden():
     k = FB.build_consts(EP.fb_ear_params())
     scale = 10 ** ((40 - 92) / 20)

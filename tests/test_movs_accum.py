@@ -143,6 +143,19 @@ def test_accumulator_modes_roundtrip():
                                  jnp.asarray(committed)))
     assert abs(got - want) < 1e-10 * (1 + abs(want))
 
+    # RMS_ASYM (second input w is the MissingComponents value;
+    # src/movaccum.c:380-384,462-466) with the noise-loudness gate shape
+    gate = np.arange(f) >= 7
+    ref_acc = R.MovAccum(R.MODE_RMS_ASYM, 1)
+    for t in range(f):
+        ref_acc.set_tentative(not above[t])
+        if gate[t]:
+            ref_acc.accumulate(0, v[t], w[t])
+    want = ref_acc.get_value()
+    got = float(accum.rms_asym(jnp.asarray(v), jnp.asarray(w),
+                               jnp.asarray(committed & gate)))
+    assert abs(got - want) < 1e-10 * (1 + abs(want))
+
     # ADB with a probability gate
     pgate = RNG.random(f) > 0.4
     ref_acc = R.MovAccum(R.MODE_ADB, 1)
