@@ -25,6 +25,44 @@ class PeaqResult:
     total_snr_db: float | None = None
 
 
+_CACHE_ENABLED = False
+
+
+def enable_compile_cache() -> None:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    Cold compiles of the pipelines take minutes on the TPU backend; with the
+    cache, repeat CLI invocations load compiled programs in seconds.  Cache
+    dir: $GSTPEAQ_TPU_CACHE, else the repo-local .jax_cache when writable,
+    else ~/.cache/gstpeaq_tpu/jax.
+    """
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    import os
+    import pathlib
+    import jax
+    path = os.environ.get("GSTPEAQ_TPU_CACHE")
+    if not path:
+        repo = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
+        if os.access(repo.parent, os.W_OK):
+            path = str(repo)
+        else:
+            path = os.path.expanduser("~/.cache/gstpeaq_tpu/jax")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    _CACHE_ENABLED = True
+
+
+def _bucket(n: int, granularity: int) -> int:
+    """Round a frame count up to the bucket grid, bounding the number of
+    distinct compiled programs across input lengths.  Padding frames carry
+    silence and are excluded via the valid-frame mask, so results are
+    identical to exact-length processing (same mechanism as
+    parallel/batch.py)."""
+    return max(granularity, -(-n // granularity) * granularity)
+
+
 def _as_2d_f32(x) -> np.ndarray:
     x = np.asarray(x, dtype=np.float32)
     if x.ndim == 1:
@@ -50,6 +88,17 @@ def resolve_dtypes(name: str):
         return jnp.float64, jnp.float32
     d = jnp.dtype(name)
     return d, d
+
+
+def _pad_bucketed(sig: np.ndarray, n_own: int, n_bucket: int,
+                  frame_size: int, step_size: int) -> np.ndarray:
+    """Pad to the pair's own flush-frame boundary, then zero-extend to the
+    bucket frame count (padding is masked out via the valid-frame count)."""
+    own = framing.pad_signal(sig, n_own, frame_size, step_size)
+    length = framing.padded_length(n_bucket, frame_size, step_size)
+    out = np.zeros((length, sig.shape[1]), dtype=np.float32)
+    out[:own.shape[0]] = own
+    return out
 
 
 @functools.lru_cache(maxsize=32)
@@ -90,6 +139,7 @@ def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
 
     ref/test: arrays [samples] or [samples, channels], float; 48 kHz.
     """
+    enable_compile_cache()
     ref = _as_2d_f32(ref)
     test = _as_2d_f32(test)
     if ref.shape[1] != test.shape[1]:
@@ -98,14 +148,16 @@ def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
 
     n_fft = framing.num_frames(ref.shape[0], test.shape[0],
                                C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
-    ref_fft = framing.pad_signal(ref, n_fft, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
-    test_fft = framing.pad_signal(test, n_fft, C.FFT_FRAMESIZE,
-                                  C.FFT_STEPSIZE)
+    n_fft_b = _bucket(n_fft, 32)
+    ref_fft = _pad_bucketed(ref, n_fft, n_fft_b, C.FFT_FRAMESIZE,
+                            C.FFT_STEPSIZE)
+    test_fft = _pad_bucketed(test, n_fft, n_fft_b, C.FFT_FRAMESIZE,
+                             C.FFT_STEPSIZE)
 
     if not advanced:
-        fn = _jitted_basic(n_fft, ref.shape[1], playback_level, settings,
+        fn = _jitted_basic(n_fft_b, ref.shape[1], playback_level, settings,
                            dtype)
-        out = fn(ref_fft, test_fft)
+        out = fn(ref_fft, test_fft, np.int32(n_fft))
         movs = {name: float(v)
                 for name, v in zip(C.MOV_BASIC_NAMES, np.asarray(out.movs))}
         snr = None
@@ -117,11 +169,14 @@ def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
 
     n_fb = framing.num_frames(ref.shape[0], test.shape[0],
                               C.FB_FRAMESIZE, C.FB_FRAMESIZE)
-    ref_fb = framing.pad_signal(ref, n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
-    test_fb = framing.pad_signal(test, n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
-    fn = _jitted_advanced(n_fft, n_fb, ref.shape[1], playback_level, settings,
-                          dtype)
-    out = fn(ref_fft, test_fft, ref_fb, test_fb)
+    n_fb_b = _bucket(n_fb, 192)
+    ref_fb = _pad_bucketed(ref, n_fb, n_fb_b, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+    test_fb = _pad_bucketed(test, n_fb, n_fb_b, C.FB_FRAMESIZE,
+                            C.FB_FRAMESIZE)
+    fn = _jitted_advanced(n_fft_b, n_fb_b, ref.shape[1], playback_level,
+                          settings, dtype)
+    out = fn(ref_fft, test_fft, ref_fb, test_fb,
+             np.int32(n_fft), np.int32(n_fb))
     movs = {name: float(v)
             for name, v in zip(C.MOV_ADVANCED_NAMES, np.asarray(out.movs))}
     snr = None

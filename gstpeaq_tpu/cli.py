@@ -15,7 +15,7 @@ import sys
 from . import __version__
 from . import api
 from . import constants as C
-from .utils import wavio
+from .utils import native
 
 _BASIC_FMT = [
     ("   BandwidthRefB", "BandwidthRefB"),
@@ -66,8 +66,13 @@ def main(argv=None) -> int:
         print("cannot select both --basic and --advanced", file=sys.stderr)
         return 1
 
-    ref = wavio.load_audio_48k(args.files[0])
-    test = wavio.load_audio_48k(args.files[1])
+    # native C loader when built (make -C native), wavio fallback otherwise
+    try:
+        ref = native.load_audio_48k(args.files[0])
+        test = native.load_audio_48k(args.files[1])
+    except (IOError, ValueError) as exc:
+        print(f"peaq: {exc}", file=sys.stderr)
+        return 2
     if ref.shape[1] != test.shape[1]:
         # mirror the pipeline's caps negotiation: upmix mono to match
         if ref.shape[1] == 1:

@@ -109,6 +109,7 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
     Returns dict with 'odg' [B], 'di' [B], 'movs' [B, M] numpy arrays.
     """
     from .. import api
+    api.enable_compile_cache()
     refs = [api._as_2d_f32(r) for r in refs]
     tests = [api._as_2d_f32(t) for t in tests]
     dtype = dtype or api.default_dtype()

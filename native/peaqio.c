@@ -190,21 +190,25 @@ int64_t peaq_resample_48k(const float *in, int64_t in_frames, int channels,
     }
     int64_t out_frames = (in_frames * up) / down;
     if (out_frames > out_capacity) out_frames = out_capacity;
+    const int64_t kp2 = taps_per_phase / 2;   /* half = kp2 * up */
     for (int64_t m = 0; m < out_frames; m++) {
         /* output sample m at input phase position m*down/up */
         int64_t num = m * down;
         int64_t n0 = num / up;          /* integer input index */
         int64_t phase = num % up;       /* fractional position (in 1/up) */
+        /* only taps h[k*up + phase] with |k*up + phase| <= half are
+         * nonzero: k in [-kp2, kp2 - (phase != 0)] — step those ~32
+         * directly instead of scanning all 2*half+1 positions */
+        int64_t k_min = -kp2;
+        int64_t k_max = phase ? kp2 - 1 : kp2;
+        if (k_min < n0 - in_frames + 1) k_min = n0 - in_frames + 1;
+        if (k_max > n0) k_max = n0;     /* input boundary clamps */
+        const double *hp = h + half + phase;
         for (int c = 0; c < channels; c++) {
             double acc = 0.0;
-            /* taps at h[k*up + phase'] aligned so the filter is centered */
-            for (int64_t k = -half; k <= half; k++) {
-                int64_t tap = k * up + phase;
-                if (tap < -half || tap > half) continue;
-                int64_t idx = n0 - k;
-                if (idx < 0 || idx >= in_frames) continue;
-                acc += h[tap + half] * in[idx * channels + c];
-            }
+            const float *xp = in + c;
+            for (int64_t k = k_min; k <= k_max; k++)
+                acc += hp[k * up] * xp[(n0 - k) * channels];
             out[m * channels + c] = (float)acc;
         }
     }
