@@ -75,8 +75,10 @@ def make_pipeline(playback_level: float = 92.0,
         exc = jnp.moveaxis(exc, 0, 1)
         nmr_mean, _ = MOVS.nmr(kf.group_matrix, kf.masking_difference,
                                weighted[0], weighted[1], exc[0])
-        ehs_val, ehs_valid = MOVS.ehs(weighted[0], weighted[1],
-                                      thresh[0], thresh[1], settings, sdtype)
+        ehs_val, ehs_valid = MOVS.ehs(
+            weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
+            ehs_mats=None if kf.ehs_fwd is None else
+            (kf.ehs_fwd, kf.ehs_inv_re, kf.ehs_inv_im, kf.ehs_fwd2))
         cmf = committed_fft[:, None]
         one = jnp.ones_like(nmr_mean)
         seg_nmr = jnp.mean(accum.avg(

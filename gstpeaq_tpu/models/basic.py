@@ -122,7 +122,9 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         p_bin, steps_bin = MOVS.prob_detect(
             ref_e, test_e, settings.use_floor_for_steps_above_threshold)
         ehs_val, ehs_valid = MOVS.ehs(
-            ref_w, test_w, thresh[0], thresh[1], settings, sdtype)
+            ref_w, test_w, thresh[0], thresh[1], settings, sdtype,
+            ehs_mats=None if k.ehs_fwd is None else
+            (k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im, k.ehs_fwd2))
 
         # ---- accumulate (channel means where multichannel) ----
         cm = committed[:, None]

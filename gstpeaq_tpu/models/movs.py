@@ -7,6 +7,7 @@ masked-reduction accumulation lives in accum.py.  Reference: src/movs.c.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -129,13 +130,17 @@ def prob_detect(e_ref: jnp.ndarray, e_test: jnp.ndarray,
 
 def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
         ref_thresh: jnp.ndarray, test_thresh: jnp.ndarray,
-        settings: C.Settings, dtype):
+        settings: C.Settings, dtype, ehs_mats=None):
     """Error harmonic structure per frame; src/movs.c:1345-1443.
 
     ref/test_weighted: [F, C, 1025]; ref/test_thresh: [F, C] bool.
     Returns (ehs_value [F, C], valid [F]).  The value is garbage (zeros by
     construction of the NaN-proof max) on frames where valid is False; the
     accumulator mask must apply `valid`.
+
+    `ehs_mats` = (fwd512, inv_re, inv_im, fwd256) DFT-GEMM matrices
+    (FFTEarConsts.ehs_*): when given, the three per-frame transforms run as
+    MXU matmuls instead of VPU FFTs (~2x faster stage on TPU, same math).
     """
     n = C.MAXLAG
     valid = jnp.any(ref_thresh | test_thresh, axis=-1)
@@ -143,10 +148,25 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
     tw = test_weighted[..., :2 * n]
     d = jnp.where((rw == 0.0) & (tw == 0.0), 0.0, jnp.log(tw / rw))
     # c[i] = sum_{k<256} d[k] d[k+i], via frequency domain like the reference
-    f1 = FE.rfft_flat(d)
-    d_head = jnp.concatenate([d[..., :n], jnp.zeros_like(d[..., :n])], axis=-1)
-    f2 = FE.rfft_flat(d_head)
-    corr = FE.irfft_flat(f1 * jnp.conj(f2))[..., :n]
+    if ehs_mats is not None:
+        fwd512, inv_re, inv_im, _ = ehs_mats
+        hp = jax.lax.Precision.HIGHEST
+        bins = n + 1
+        g1 = jnp.dot(d, fwd512, precision=hp)           # [.., 2*257]
+        # f2 = rfft([d[:256], 0...]): only the first 256 rows contribute
+        g2 = jnp.dot(d[..., :n], fwd512[:n], precision=hp)
+        f1r, f1i = g1[..., :bins], g1[..., bins:]
+        f2r, f2i = g2[..., :bins], g2[..., bins:]
+        pr = f1r * f2r + f1i * f2i                      # re(f1 * conj(f2))
+        pi = f1i * f2r - f1r * f2i                      # im(f1 * conj(f2))
+        corr = (jnp.dot(pr, inv_re, precision=hp)
+                + jnp.dot(pi, inv_im, precision=hp))    # irfft[..., :256]
+    else:
+        f1 = FE.rfft_flat(d)
+        d_head = jnp.concatenate([d[..., :n], jnp.zeros_like(d[..., :n])],
+                                 axis=-1)
+        f2 = FE.rfft_flat(d_head)
+        corr = FE.irfft_flat(f1 * jnp.conj(f2))[..., :n]
     d0 = corr[..., :1]
     dsq = d * d
     dk = d0 + jnp.concatenate(
@@ -161,8 +181,13 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
         cwin = (cnorm - jnp.mean(cnorm, axis=-1, keepdims=True)) * window
     else:
         cwin = cnorm * window
-    cfft = FE.rfft_flat(cwin)
-    power = jnp.real(cfft) ** 2 + jnp.imag(cfft) ** 2
+    if ehs_mats is not None:
+        g = jnp.dot(cwin, ehs_mats[3], precision=jax.lax.Precision.HIGHEST)
+        half = g.shape[-1] // 2
+        power = g[..., :half] ** 2 + g[..., half:] ** 2
+    else:
+        cfft = FE.rfft_flat(cwin)
+        power = jnp.real(cfft) ** 2 + jnp.imag(cfft) ** 2
     if not settings.ehs_subtract_dc_before_window:
         power = power.at[..., 0].set(0.0)
     # max over bins exceeding their predecessor; NaN-proof: NaN > x is False

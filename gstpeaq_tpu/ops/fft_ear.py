@@ -31,6 +31,10 @@ class FFTEarConsts:
     hann: Any
     dft_matrix: Any        # [2048, 2 * 1025] windowed rDFT matrix, or None
     dft_precision: Any
+    ehs_fwd: Any           # [512, 2*257] rDFT for the EHS autocorrelation
+    ehs_inv_re: Any        # [257, 256] truncated inverse rDFT (real part)
+    ehs_inv_im: Any        # [257, 256] truncated inverse rDFT (imag part)
+    ehs_fwd2: Any          # [256, 2*129] final EHS spectrum rDFT
     om_weight: Any
     level_factor: Any
     group_matrix: Any
@@ -55,7 +59,8 @@ class FFTEarConsts:
 # matrix!) inlines them into the HLO and blows compile time up ~60x on this
 # backend (measured 45 s vs 0.7 s for a single GEMM).
 _FFT_LEAF_FIELDS = (
-    "hann", "dft_matrix", "om_weight", "level_factor", "group_matrix",
+    "hann", "dft_matrix", "ehs_fwd", "ehs_inv_re", "ehs_inv_im", "ehs_fwd2",
+    "om_weight", "level_factor", "group_matrix",
     "internal_noise", "a_uc_log", "a_uc", "g_il", "lower_matrix",
     "spread_norm", "delta_z", "ear_a", "adapt_a", "masking_difference",
     "threshold", "excitation_threshold", "loudness_factor")
@@ -106,10 +111,36 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
         ang = -2.0 * np.pi * np.outer(nn, kk) / n
         win = params.hann_window[:, None]
         dft = fs(np.concatenate([np.cos(ang) * win, np.sin(ang) * win], 1))
+    # EHS autocorrelation DFT-GEMM matrices (MXU path; the VPU FFTs are the
+    # second-largest stage of the basic pipeline, ~14 ms of 49 at mb=32).
+    ehs_fwd = ehs_inv_re = ehs_inv_im = ehs_fwd2 = None
+    if use_dft_gemm and jnp.dtype(spectrum_dtype) == jnp.float32:
+        n = 2 * C.MAXLAG                       # 512
+        kk = np.arange(n // 2 + 1)
+        ang = -2.0 * np.pi * np.outer(np.arange(n), kk) / n
+        ehs_fwd = fs(np.concatenate([np.cos(ang), np.sin(ang)], 1))
+        wk = np.where((kk == 0) | (kk == n // 2), 1.0, 2.0) / n
+        ehs_inv_re = fs((np.cos(ang) * wk).T[:, :C.MAXLAG])
+        ehs_inv_im = fs((np.sin(ang) * wk).T[:, :C.MAXLAG])
+        m = C.MAXLAG                           # 256
+        kk2 = np.arange(m // 2 + 1)
+        ang2 = -2.0 * np.pi * np.outer(np.arange(m), kk2) / m
+        ehs_fwd2 = fs(np.concatenate([np.cos(ang2), np.sin(ang2)], 1))
+    # band-domain f32 = the throughput tier: its ODG noise is dominated by
+    # the band chain (docs/precision.md), so the spectrum GEMM can run at
+    # bf16x3 (HIGH, ~1.3e-5 rel err) for 2x MXU throughput.  Wider band
+    # domains keep the full-precision GEMM.
+    precision = (jax.lax.Precision.HIGH
+                 if jnp.dtype(dtype) == jnp.float32
+                 else jax.lax.Precision.HIGHEST)
     return FFTEarConsts(
         hann=fs(params.hann_window),
         dft_matrix=dft,
-        dft_precision=jax.lax.Precision.HIGHEST,
+        dft_precision=precision,
+        ehs_fwd=ehs_fwd,
+        ehs_inv_re=ehs_inv_re,
+        ehs_inv_im=ehs_inv_im,
+        ehs_fwd2=ehs_fwd2,
         om_weight=fs(params.outer_middle_ear_weight),
         level_factor=fs(params.level_factor),
         group_matrix=fs(params.group_matrix),

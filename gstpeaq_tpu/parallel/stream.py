@@ -124,7 +124,9 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         p_bin, steps_bin = MOVS.prob_detect(
             ref_e, test_e, settings.use_floor_for_steps_above_threshold)
         ehs_val, ehs_valid = MOVS.ehs(
-            weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype)
+            weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
+            ehs_mats=None if k.ehs_fwd is None else
+            (k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im, k.ehs_fwd2))
 
         # --- streaming accumulation ---
         has_prev = state["has_above"]
@@ -363,8 +365,10 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
         exc = jnp.moveaxis(exc, 0, 1)
         nmr_mean, _ = MOVS.nmr(kf.group_matrix, kf.masking_difference,
                                weighted[0], weighted[1], exc[0])
-        ehs_val, ehs_valid = MOVS.ehs(weighted[0], weighted[1], thresh[0],
-                                      thresh[1], settings, sdtype)
+        ehs_val, ehs_valid = MOVS.ehs(
+            weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
+            ehs_mats=None if kf.ehs_fwd is None else
+            (kf.ehs_fwd, kf.ehs_inv_re, kf.ehs_inv_im, kf.ehs_fwd2))
         has_prev = state["has_above_fft"]
         active = has_prev | (jnp.cumsum(above.astype(jnp.int32)) > 0)
         any_above = jnp.any(above)

@@ -92,6 +92,26 @@ def test_ehs_matches_spec():
         assert abs(ehs_val[i, 0] - want) < 1e-8 * (1 + abs(want))
 
 
+def test_ehs_gemm_path_matches_fft_path():
+    """The MXU DFT-GEMM EHS path (TPU throughput route) equals the FFT
+    path to f32 roundoff."""
+    p = EP.fft_ear_params(109)
+    k = FE.build_consts(p, dtype=jnp.float32, spectrum_dtype=jnp.float32,
+                        use_dft_gemm=True)
+    assert k.ehs_fwd is not None
+    w_r = jnp.asarray(np.abs(RNG.standard_normal((7, 2, 1025))) ** 2 + 1e-8,
+                      jnp.float32)
+    w_t = w_r * jnp.asarray(
+        np.exp(0.1 * RNG.standard_normal((7, 2, 1025))), jnp.float32)
+    thr = jnp.ones((7, 2), bool)
+    a, _ = MOVS.ehs(w_r, w_t, thr, thr, C.DEFAULT_SETTINGS, jnp.float32)
+    b, _ = MOVS.ehs(w_r, w_t, thr, thr, C.DEFAULT_SETTINGS, jnp.float32,
+                    ehs_mats=(k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im,
+                              k.ehs_fwd2))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                               atol=1e-7)
+
+
 def test_accumulator_modes_roundtrip():
     """Closed-form masked reductions == the serial C-state-machine spec."""
     f = 40

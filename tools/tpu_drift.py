@@ -6,30 +6,25 @@ Usage: python tools/tpu_drift.py [--dtype float32|mixed] [--fft]
 Runs the chosen tier on the accelerator over "realistic" program-like pairs
 (bench harmonics + amplitude modulation + noise floor so the modulation MOVs
 are exercised — the drift-dominant path, see docs/precision.md), then the
-float64 spec on CPU in the same process (the default platform is switched
-after the TPU run; both backends stay registered), and prints per-MOV and
-ODG deltas.  --fft forces the VPU FFT instead of the DFT GEMM.
+float64 spec on CPU in a clean subprocess (once the TPU backend has
+initialized, switching jax_platforms no longer takes effect and f64 programs
+would hit the TPU compiler), and prints per-MOV and ODG deltas.  --fft
+forces the VPU FFT instead of the DFT GEMM.
 """
 import argparse
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
 
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
 import numpy as np
-
-import bench as BE
-from gstpeaq_tpu import constants as CC
-from gstpeaq_tpu.ops import fft_ear as FE
-from gstpeaq_tpu.parallel import batch as B
 
 
 def realistic_pairs(n, seconds, seed=3):
+    import bench as BE
     refs, tests = BE.make_pairs(n, seconds, seed=seed)
     t = np.arange(refs[0].shape[0]) / 48000.0
     am = (1.0 + 0.35 * np.sin(2 * np.pi * 4.0 * t)
@@ -43,42 +38,66 @@ def realistic_pairs(n, seconds, seed=3):
     return refs, tests
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--dtype", default="float32",
-                    choices=["float32", "mixed"])
-    ap.add_argument("--fft", action="store_true",
-                    help="force the VPU FFT instead of the DFT GEMM")
-    ap.add_argument("--advanced", action="store_true")
-    ap.add_argument("--pairs", type=int, default=4)
-    ap.add_argument("--seconds", type=float, default=10.0)
-    args = ap.parse_args()
-
-    if args.fft:
+def _run_tier(dtype, advanced, fft, pairs, seconds):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if dtype == "float64":
+        # must run before any backend use; a clean subprocess guarantees it
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    if fft:
+        from gstpeaq_tpu.ops import fft_ear as FE
         orig = FE.build_consts
         FE.build_consts = (lambda p, dtype, use_dft_gemm=None,
                            spectrum_dtype=None: orig(
                                p, dtype, use_dft_gemm=False,
                                spectrum_dtype=spectrum_dtype))
+    from gstpeaq_tpu.parallel import batch as B
+    refs, tests = realistic_pairs(pairs, seconds)
+    return B.peaq_batch(refs, tests, advanced=advanced, dtype=dtype,
+                        microbatch=8)
 
-    refs, tests = realistic_pairs(args.pairs, args.seconds)
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "mixed", "float64"])
+    ap.add_argument("--fft", action="store_true",
+                    help="force the VPU FFT instead of the DFT GEMM")
+    ap.add_argument("--advanced", action="store_true")
+    ap.add_argument("--pairs", type=int, default=4)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--save", default=None,
+                    help="(internal) save odg/movs to this .npz and exit")
+    args = ap.parse_args()
+
+    from gstpeaq_tpu import constants as CC
     names = (CC.MOV_ADVANCED_NAMES if args.advanced
              else CC.MOV_BASIC_NAMES)
 
     t0 = time.time()
-    out = B.peaq_batch(refs, tests, advanced=args.advanced,
-                       dtype=args.dtype, microbatch=8)
-    print(f"TPU {args.dtype}{' fft' if args.fft else ''} "
+    out = _run_tier(args.dtype, args.advanced, args.fft, args.pairs,
+                    args.seconds)
+    print(f"{args.dtype}{' fft' if args.fft else ''} "
           f"({time.time() - t0:.0f} s incl compile):",
           np.round(out["odg"], 6), flush=True)
+    if args.save:
+        np.savez(args.save, odg=out["odg"], movs=out["movs"])
+        return
 
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
-    B._jitted_basic_batch.cache_clear()
-    B._jitted_advanced_batch.cache_clear()
-    t0 = time.time()
-    out64 = B.peaq_batch(refs, tests, advanced=args.advanced,
-                         dtype="float64", microbatch=8)
+    # exact reference leg in a clean subprocess (CPU f64)
+    with tempfile.NamedTemporaryFile(suffix=".npz") as tmp:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--dtype", "float64", "--pairs", str(args.pairs),
+               "--seconds", str(args.seconds), "--save", tmp.name]
+        if args.advanced:
+            cmd.append("--advanced")
+        env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+        t0 = time.time()
+        subprocess.run(cmd, check=True, env=env)
+        ref = np.load(tmp.name)
+        out64 = {"odg": ref["odg"], "movs": ref["movs"]}
     print(f"CPU float64 ({time.time() - t0:.0f} s):",
           np.round(out64["odg"], 6), flush=True)
 
