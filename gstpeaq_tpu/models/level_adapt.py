@@ -46,8 +46,10 @@ def level_adapt(a: jnp.ndarray, avg_matrix: jnp.ndarray,
     Returns (adapted_ref, adapted_test, new_state), each [F, ..., Z].
     """
     s = state if state is not None else (None,) * 6
-    ref_filt = iir.smoothing_filter(a, ref_excitation, axis=axis, y0=s[0])
-    test_filt = iir.smoothing_filter(a, test_excitation, axis=axis, y0=s[1])
+    ref_filt = iir.smoothing_filter_banded(a, ref_excitation, axis=axis,
+                                           y0=s[0])
+    test_filt = iir.smoothing_filter_banded(a, test_excitation, axis=axis,
+                                            y0=s[1])
     # (45) in BS.1387; src/leveladapter.c:260-277
     num = jnp.sum(jnp.sqrt(ref_filt * test_filt), axis=-1)
     den = jnp.sum(test_filt, axis=-1)
@@ -59,17 +61,18 @@ def level_adapt(a: jnp.ndarray, avg_matrix: jnp.ndarray,
                              test_excitation * lev_corr)
     # (48); note the input terms are *not* scaled by (1-a);
     # src/leveladapter.c:291-298
-    filt_num = iir.linear_recurrence(a, levcorr_test * levcorr_ref,
-                                     axis=axis, y0=s[2])
-    filt_den = iir.linear_recurrence(a, levcorr_ref * levcorr_ref,
-                                     axis=axis, y0=s[3])
+    filt_num = iir.linear_recurrence_banded(a, levcorr_test * levcorr_ref,
+                                            axis=axis, y0=s[2])
+    filt_den = iir.linear_recurrence_banded(a, levcorr_ref * levcorr_ref,
+                                            axis=axis, y0=s[3])
     num_ge = filt_num >= filt_den
     pattadapt_ref = jnp.where(num_ge, 1.0, filt_num / filt_den)
     pattadapt_test = jnp.where(num_ge, filt_den / filt_num, 1.0)
     ra_ref = pattadapt_ref @ avg_matrix
     ra_test = pattadapt_test @ avg_matrix
-    pattcorr_ref = iir.smoothing_filter(a, ra_ref, axis=axis, y0=s[4])
-    pattcorr_test = iir.smoothing_filter(a, ra_test, axis=axis, y0=s[5])
+    pattcorr_ref = iir.smoothing_filter_banded(a, ra_ref, axis=axis, y0=s[4])
+    pattcorr_test = iir.smoothing_filter_banded(a, ra_test, axis=axis,
+                                                y0=s[5])
     new_state = tuple(x[-1] for x in (
         ref_filt, test_filt, filt_num, filt_den, pattcorr_ref, pattcorr_test))
     return (levcorr_ref * pattcorr_ref, levcorr_test * pattcorr_test,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _combine(left, right):
@@ -46,21 +47,98 @@ def running_max(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
 
 
-def linear_recurrence_blocked(a, b: jnp.ndarray, y0=None,
-                              block: int = 64) -> jnp.ndarray:
-    """y_t = a * y_{t-1} + b_t along the LAST axis, constant scalar `a`.
+def linear_recurrence_banded(a: jnp.ndarray, b: jnp.ndarray, axis: int = 0,
+                             y0=None, block: int = 128) -> jnp.ndarray:
+    """y_t = a_z * y_{t-1} + b_t along `axis`, per-band coefficients.
 
-    Blocked two-pass algorithm: associative_scan makes ~2*log2(T) passes
-    over the data; for sample-rate recurrences (T ~ 5e5) that is memory-bound
-    and slow.  Here the axis is split into blocks of `block`: a short
-    lax.scan over block-local steps (each step a wide FMA over all blocks in
-    parallel), a tiny cross-block prefix, and a second short scan — ~4 data
-    passes total.  Exact same math; |a| < 1 keeps it stable.
+    a: [Z] matching b's LAST axis; b: [..., Z] with the recurrence along
+    `axis`.  Same blocked Toeplitz-GEMM scheme as linear_recurrence_blocked
+    but with a per-band [Z, L, L] coefficient tensor (a batched MXU matmul).
+    Replaces associative_scan for long frame axes: the log-depth scan's
+    ~2*log2(T) levels of small slice/concat ops dominate the level-adapter
+    and modulation stages on the TPU backend.
 
-    b: [..., T] with T divisible by `block`; y0: [...] initial state.
+    y0: [..., Z] initial state (b's shape without `axis`).
     """
     dtype = b.dtype
-    a = jnp.asarray(a, dtype)
+    b2 = jnp.moveaxis(b, axis, -1)              # [..., Z, T]
+    shape = b2.shape
+    t = shape[-1]
+    z = shape[-2]
+    pad = (-t) % block
+    if pad:
+        b2 = jnp.concatenate(
+            [b2, jnp.zeros((*shape[:-1], pad), dtype)], axis=-1)
+    tt = t + pad
+    g = tt // block
+    bb = b2.reshape(-1, z, g, block)            # [M, Z, g, L]
+    m = bb.shape[0]
+
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        wide = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+    else:
+        wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    steps = jnp.concatenate(
+        [jnp.ones((z, 1), wide),
+         jnp.broadcast_to(jnp.asarray(a, wide)[:, None], (z, block))],
+        axis=-1)
+    pw = jnp.cumprod(steps, axis=-1)            # [Z, block + 1]
+    idx = np.arange(block)
+    expo = idx[None, :] - idx[:, None]          # [j, l] -> l - j
+    toep = (pw[:, np.maximum(expo, 0)]
+            * jnp.asarray(expo >= 0, wide)).astype(dtype)   # [Z, L, L]
+    prefix = jnp.einsum("mzgj,zjl->mzgl", bb, toep,
+                        precision=jax.lax.Precision.HIGHEST)
+
+    a_l = pw[:, block].astype(dtype)            # [Z]
+    if y0 is None:
+        init = jnp.zeros((m, z), dtype)
+    else:
+        init = jnp.broadcast_to(jnp.asarray(y0, dtype),
+                                (*shape[:-2], z)).reshape(m, z)
+    inclusive = linear_recurrence(a_l[:, None], prefix[..., -1], axis=-1,
+                                  y0=init)
+    entries = jnp.concatenate(
+        [init[..., None], inclusive[..., :-1]], axis=-1)    # [M, Z, g]
+
+    y = prefix + entries[..., None] * pw[:, None, 1:].astype(dtype)
+    y = y.reshape(*shape[:-1], tt)
+    if pad:
+        y = y[..., :t]
+    return jnp.moveaxis(y, -1, axis)
+
+
+def smoothing_filter_banded(a: jnp.ndarray, x: jnp.ndarray, axis: int = 0,
+                            y0=None, block: int = 128) -> jnp.ndarray:
+    """Blocked-GEMM form of smoothing_filter (y = a y_prev + (1-a) x)."""
+    return linear_recurrence_banded(a, (1.0 - a) * x, axis=axis, y0=y0,
+                                    block=block)
+
+
+def linear_recurrence_blocked(a, b: jnp.ndarray, y0=None,
+                              block: int = 128) -> jnp.ndarray:
+    """y_t = a * y_{t-1} + b_t along the LAST axis; `a` must be a Python /
+    NumPy scalar (trace-time constant).
+
+    Blocked algorithm, TPU-first: associative_scan makes ~2*log2(T) passes
+    over the data; for sample-rate recurrences (T ~ 5e5) that is memory-
+    bound and slow, and any serial lax.scan pays thousands of tiny
+    sequential steps.  Here the axis splits into L-sample blocks:
+
+      1. block-local prefixes as ONE [.., g, L] @ [L, L] GEMM with the
+         lower-triangular Toeplitz matrix T[j, l] = a^(l-j)  (MXU; the
+         data layout keeps L contiguous so there are no transposes);
+      2. cross-block entry states by a log-depth associative scan over the
+         g block summaries (tiny);
+      3. one fused broadcast FMA  y = prefix + a^(l+1) * entry.
+
+    The power tables are built host-side in float64/complex128 (repeated
+    low-precision products would lose ~block * eps relative accuracy, and
+    the TPU backend has no C128 for an in-graph wide cumprod).
+    b: [..., T]; y0: [...] initial state (broadcast over leading axes).
+    """
+    dtype = b.dtype
+    a = complex(a) if np.iscomplexobj(a) else float(a)
     shape = b.shape
     t = shape[-1]
     pad = (-t) % block
@@ -71,34 +149,24 @@ def linear_recurrence_blocked(a, b: jnp.ndarray, y0=None,
     g = tt // block
     bb = b.reshape(-1, g, block)
     n = bb.shape[0]
-    bt = jnp.moveaxis(bb, -1, 0)  # [L, n, g]
 
-    # pass 1+2 fused: scan block-local steps, carrying the running state of
-    # every block at once; record states to produce outputs later.
-    # First compute zero-entry block prefixes AND block summaries:
-    def step(c, x):
-        c2 = a * c + x
-        return c2, c2
-
-    zero = jnp.zeros((n, g), dtype)
-    block_final, prefix = jax.lax.scan(step, zero, bt)  # prefix: [L, n, g]
+    pw_np = np.power(a, np.arange(block + 1))          # exact-ish in f64
+    idx = np.arange(block)
+    expo = idx[None, :] - idx[:, None]                  # [j, l] -> l - j
+    toep = jnp.asarray(
+        np.where(expo >= 0, pw_np[np.maximum(expo, 0)], 0.0), dtype)
+    prefix = jnp.einsum("ngj,jl->ngl", bb, toep,
+                        precision=jax.lax.Precision.HIGHEST)
 
     # cross-block exclusive prefix: entry state of block k is
-    # E_k = a^L * E_{k-1} + final_{k-1}, E_0 = y0
-    a_l = a ** block
+    # E_k = a^L E_{k-1} + final_{k-1}, E_0 = y0 (log-depth over g)
+    a_l = jnp.asarray(pw_np[block], dtype)
     init = (jnp.zeros((n,), dtype) if y0 is None
             else jnp.asarray(y0, dtype).reshape(-1))
+    inclusive = linear_recurrence(a_l, prefix[..., -1], axis=-1, y0=init)
+    entries = jnp.concatenate(
+        [init[:, None], inclusive[:, :-1]], axis=-1)   # state BEFORE block k
 
-    def blk(c, f):
-        e = c
-        c2 = a_l * c + f
-        return c2, e
-
-    _, entries = jax.lax.scan(blk, init, jnp.moveaxis(block_final, 0, 1))
-    entries = jnp.moveaxis(entries, 0, 1)  # [n, g]
-
-    # final: y[l, :, g] = prefix + a^(l+1) * entry
-    powers = jnp.power(a, jnp.arange(1, block + 1)).astype(dtype)
-    y = prefix + powers[:, None, None] * entries[None]
-    y = jnp.moveaxis(y, 0, -1).reshape(*shape[:-1], tt)
+    y = prefix + entries[..., None] * jnp.asarray(pw_np[1:], dtype)
+    y = y.reshape(*shape[:-1], tt)
     return y[..., :t] if pad else y

@@ -1,8 +1,9 @@
-"""Marginal cost of each basic-pipeline stage, measured by substituting the
+"""Marginal cost of each pipeline stage, measured by substituting the
 stage with a shape-preserving dummy inside the REAL batched program (isolated
 stage timings are unreliable: XLA fuses differently out of context).
 
-Usage: python tools/tpu_stage_cost.py [--mb N] [--dtype float32|mixed]
+Usage: python tools/tpu_stage_cost.py [--mode basic|advanced] [--mb N]
+                                      [--dtype float32|mixed]
 """
 import argparse
 import sys
@@ -19,8 +20,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import bench as BE
 from gstpeaq_tpu import constants as C
-from gstpeaq_tpu.models import basic, level_adapt, modulation, movs as MOVS
-from gstpeaq_tpu.ops import fft_ear as FE
+from gstpeaq_tpu.models import (advanced, basic, level_adapt, modulation,
+                                movs as MOVS)
+from gstpeaq_tpu.ops import fb_ear as FB, fft_ear as FE
 from gstpeaq_tpu.parallel import batch as B
 
 
@@ -34,12 +36,17 @@ def timed(fn, arrays, iters=4):
     return min(times) * 1000
 
 
-def build(dtype_name):
+def build(dtype_name, mode="basic"):
     from gstpeaq_tpu import api
     dtype, sdtype = api.resolve_dtypes(dtype_name)
-    pipe, consts = basic.make_pipeline(
-        C.BASIC_BAND_COUNT, 92.0, C.DEFAULT_SETTINGS, dtype, sdtype)
-    jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0)))
+    if mode == "advanced":
+        pipe, consts = advanced.make_pipeline(
+            92.0, C.DEFAULT_SETTINGS, dtype, sdtype)
+        jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0, 0, 0, 0)))
+    else:
+        pipe, consts = basic.make_pipeline(
+            C.BASIC_BAND_COUNT, 92.0, C.DEFAULT_SETTINGS, dtype, sdtype)
+        jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0)))
     return lambda *a: jfn(consts, *a)
 
 
@@ -70,32 +77,61 @@ DUMMIES = {
     "noise_loud": (MOVS, "noise_loudness",
                    lambda n, a, tf, s0, nlm, mr, mt, ar, at: (
                        jnp.mean(ar - at, -1))),
+    # FB-path stages (advanced mode)
+    "fb_filter_bank": (FB, "filter_bank", lambda k, hp2, history=None: (
+        jnp.mean(hp2.reshape(*hp2.shape[:-1], -1, 32), -1)[..., None]
+        * jnp.ones((40,), hp2.dtype),) * 2),
+    "fb_dc": (FB, "dc_reject",
+              lambda x, state=None, return_state=False: x * 0.999),
+    "fb_spread": (FB, "spread",
+                  lambda k, re, im, cu_state=None, return_state=False:
+                  re * re + im * im),
+    "fb_masking": (FB, "back_and_forward_masking",
+                   lambda k, e0, n_frames, state=None, return_state=False: (
+                       (e0[..., 5::6, :] + k.internal_noise,
+                        e0[..., 5::6, :] + k.internal_noise)
+                       + ((state,) if return_state else ()))),
+}
+
+
+DUMMY_MODE = {
+    "fb_filter_bank": "advanced", "fb_dc": "advanced",
+    "fb_spread": "advanced", "fb_masking": "advanced",
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mb", type=int, default=32)
+    ap.add_argument("--mode", choices=["basic", "advanced"],
+                    default="basic")
+    ap.add_argument("--mb", type=int, default=None)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--stages", default=None,
-                    help="comma list; default all")
+                    help="comma list; default all for the mode")
     args = ap.parse_args()
+    mb = args.mb or (32 if args.mode == "basic" else 8)
 
-    refs, tests = BE.make_pairs(args.mb, 10.0)
+    refs, tests = BE.make_pairs(mb, 10.0)
     arrays = [jax.device_put(a)
-              for a in B.prepare_batch(refs, tests, False)]
+              for a in B.prepare_batch(refs, tests, args.mode == "advanced")]
 
-    full = timed(build(args.dtype), arrays)
+    full = timed(build(args.dtype, args.mode), arrays)
     print(f"full: {full:.1f} ms "
-          f"({args.mb * 10.0 / full * 1000:.0f} audio-s/s)", flush=True)
+          f"({mb * 10.0 / full * 1000:.0f} audio-s/s)", flush=True)
 
-    names = (args.stages.split(",") if args.stages else list(DUMMIES))
+    if args.stages:
+        names = args.stages.split(",")
+    else:
+        names = [n for n in DUMMIES
+                 if DUMMY_MODE.get(n, "basic") == args.mode
+                 or n in ("ehs", "nmr", "modulation", "level_adapt",
+                          "noise_loud")]
     for name in names:
         mod, attr, dummy = DUMMIES[name]
         orig = getattr(mod, attr)
         setattr(mod, attr, dummy)
         try:
-            ms = timed(build(args.dtype), arrays)
+            ms = timed(build(args.dtype, args.mode), arrays)
         finally:
             setattr(mod, attr, orig)
         print(f"without {name}: {ms:.1f} ms  (stage ~{full - ms:.1f} ms)",
