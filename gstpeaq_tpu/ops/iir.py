@@ -78,19 +78,19 @@ def linear_recurrence_banded(a: jnp.ndarray, b: jnp.ndarray, axis: int = 0,
         wide = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
     else:
         wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    steps = jnp.concatenate(
-        [jnp.ones((z, 1), wide),
-         jnp.broadcast_to(jnp.asarray(a, wide)[:, None], (z, block))],
-        axis=-1)
-    pw = jnp.cumprod(steps, axis=-1)            # [Z, block + 1]
+    # toep[z, j, l] = a_z^(l-j) for l >= j, via exp(expo * log a) — the
+    # PEAQ smoothing coefficients are in (0, 1).  (A gather from a cumprod
+    # table lowers to a slow TPU gather that XLA does not hoist: it was
+    # ~25% of the advanced pipeline's device time.)
     idx = np.arange(block)
     expo = idx[None, :] - idx[:, None]          # [j, l] -> l - j
-    toep = (pw[:, np.maximum(expo, 0)]
+    log_a = jnp.log(jnp.asarray(a, wide))[:, None, None]
+    toep = (jnp.exp(jnp.asarray(np.maximum(expo, 0), wide) * log_a)
             * jnp.asarray(expo >= 0, wide)).astype(dtype)   # [Z, L, L]
     prefix = jnp.einsum("mzgj,zjl->mzgl", bb, toep,
                         precision=jax.lax.Precision.HIGHEST)
 
-    a_l = pw[:, block].astype(dtype)            # [Z]
+    a_l = jnp.exp(log_a[:, 0, 0] * block).astype(dtype)         # a^L  [Z]
     if y0 is None:
         init = jnp.zeros((m, z), dtype)
     else:
@@ -101,7 +101,9 @@ def linear_recurrence_banded(a: jnp.ndarray, b: jnp.ndarray, axis: int = 0,
     entries = jnp.concatenate(
         [init[..., None], inclusive[..., :-1]], axis=-1)    # [M, Z, g]
 
-    y = prefix + entries[..., None] * pw[:, None, 1:].astype(dtype)
+    pwr = jnp.exp(jnp.asarray(np.arange(1, block + 1), wide)
+                  * log_a[:, 0]).astype(dtype)              # a^(1..L) [Z, L]
+    y = prefix + entries[..., None] * pwr[:, None, :]
     y = y.reshape(*shape[:-1], tt)
     if pad:
         y = y[..., :t]
