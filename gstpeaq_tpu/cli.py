@@ -49,7 +49,7 @@ def main(argv=None) -> int:
     parser.add_argument("--precision",
                         choices=["float32", "float64", "mixed"],
                         default=None, help="compute precision (default: "
-                        "float64 on CPU, mixed on TPU)")
+                        "float64 on CPU, float32 on TPU)")
     parser.add_argument("--totalsnr", action="store_true",
                         help="also print the overall SNR in dB (the "
                         "reference's totalsnr element property)")
@@ -59,6 +59,12 @@ def main(argv=None) -> int:
     if args.version:
         print(f"gstpeaq-tpu {__version__}")
         return 0
+    if args.precision == "float64":
+        # the exact tier lives on CPU: TPU f64 is software-emulated and the
+        # full-pipeline f64 graph breaks the TPU x64 rewriter; switching
+        # here works because backends initialize lazily
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if len(args.files) != 2:
         parser.print_help()
         return 1

@@ -14,6 +14,7 @@ plus elementwise math — no serial loop:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,8 +69,9 @@ def level_adapt(a: jnp.ndarray, avg_matrix: jnp.ndarray,
     num_ge = filt_num >= filt_den
     pattadapt_ref = jnp.where(num_ge, 1.0, filt_num / filt_den)
     pattadapt_test = jnp.where(num_ge, filt_den / filt_num, 1.0)
-    ra_ref = pattadapt_ref @ avg_matrix
-    ra_test = pattadapt_test @ avg_matrix
+    hp = jax.lax.Precision.HIGHEST
+    ra_ref = jnp.dot(pattadapt_ref, avg_matrix, precision=hp)
+    ra_test = jnp.dot(pattadapt_test, avg_matrix, precision=hp)
     pattcorr_ref = iir.smoothing_filter_banded(a, ra_ref, axis=axis, y0=s[4])
     pattcorr_test = iir.smoothing_filter_banded(a, ra_test, axis=axis,
                                                 y0=s[5])

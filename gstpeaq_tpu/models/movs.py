@@ -88,7 +88,9 @@ def nmr(group_matrix: jnp.ndarray, masking_difference: jnp.ndarray,
     """
     noise_spectrum = (ref_weighted - 2.0 * jnp.sqrt(ref_weighted * test_weighted)
                       + test_weighted)
-    noise_in_bands = jnp.maximum(noise_spectrum @ group_matrix, 1e-12)
+    noise_in_bands = jnp.maximum(
+        jnp.dot(noise_spectrum, group_matrix,
+                precision=jax.lax.Precision.HIGHEST), 1e-12)
     mask = ref_excitation / masking_difference
     nmr_vec = noise_in_bands / mask
     nmr_mean = jnp.mean(nmr_vec, axis=-1)

@@ -24,7 +24,7 @@ def _di(movs, amin, amax, wx, wxb, wy, wyb, clamp):
     m = (movs - amin) / (amax - amin)
     if clamp:
         m = jnp.clip(m, 0.0, 1.0)
-    x = wxb + m @ wx
+    x = wxb + jnp.dot(m, wx, precision=jax.lax.Precision.HIGHEST)
     return wyb + jnp.sum(wy * _sigmoid(x), axis=-1)
 
 
@@ -82,7 +82,8 @@ def init_cognitive_params(advanced: bool = False) -> dict[str, Any]:
 def cognitive_forward(params: dict[str, Any], movs: jnp.ndarray) -> jnp.ndarray:
     """Differentiable DI from a parameter pytree; movs: [..., M] -> [...]."""
     m = (movs - params["amin"]) / (params["amax"] - params["amin"])
-    x = params["wxb"] + m @ params["wx"]
+    x = params["wxb"] + jnp.dot(m, params["wx"],
+                                precision=jax.lax.Precision.HIGHEST)
     return params["wyb"] + jnp.sum(params["wy"] * _sigmoid(x), axis=-1)
 
 

@@ -293,8 +293,11 @@ def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
     a_re = fb_re + jnp.concatenate(ups_re, axis=-1)
     a_im = fb_im + jnp.concatenate(ups_im, axis=-1)
     # constant lower spreading: final[c] = sum_{j>=c} CL^(j-c) A[j]
-    a_re = jnp.einsum("...j,...jc->...c", a_re, k.lower_matrix)
-    a_im = jnp.einsum("...j,...jc->...c", a_im, k.lower_matrix)
+    hp = jax.lax.Precision.HIGHEST
+    a_re = jnp.einsum("...j,...jc->...c", a_re, k.lower_matrix,
+                      precision=hp)
+    a_im = jnp.einsum("...j,...jc->...c", a_im, k.lower_matrix,
+                      precision=hp)
     e0 = a_re * a_re + a_im * a_im
     if return_state:
         return e0, cu[..., -1, :]

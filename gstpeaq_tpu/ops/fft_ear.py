@@ -192,7 +192,9 @@ def rfft_flat(x: jnp.ndarray) -> jnp.ndarray:
     shape = x.shape
     if _use_dft_fallback(x.dtype):
         fr, fi, _, _ = _dft_mats(shape[-1], str(x.dtype))
-        return jax.lax.complex(x @ fr, x @ fi)
+        hp = jax.lax.Precision.HIGHEST
+        return jax.lax.complex(jnp.dot(x, fr, precision=hp),
+                               jnp.dot(x, fi, precision=hp))
     out = jnp.fft.rfft(x.reshape(-1, shape[-1]))
     return out.reshape(*shape[:-1], shape[-1] // 2 + 1)
 
@@ -203,7 +205,9 @@ def irfft_flat(x: jnp.ndarray) -> jnp.ndarray:
     n = 2 * (shape[-1] - 1)
     if _use_dft_fallback(jnp.real(x).dtype):
         _, _, ir, ii = _dft_mats(n, str(jnp.real(x).dtype))
-        return jnp.real(x) @ ir - jnp.imag(x) @ (-ii)
+        hp = jax.lax.Precision.HIGHEST
+        return (jnp.dot(jnp.real(x), ir, precision=hp)
+                - jnp.dot(jnp.imag(x), -ii, precision=hp))
     out = jnp.fft.irfft(x.reshape(-1, shape[-1]))
     return out.reshape(*shape[:-1], n)
 
@@ -211,7 +215,12 @@ def irfft_flat(x: jnp.ndarray) -> jnp.ndarray:
 def group_into_bands(k: FFTEarConsts, spectrum: jnp.ndarray) -> jnp.ndarray:
     """Critical-band grouping with the 1e-12 floor;
     src/fftearmodel.c:603-620.  spectrum: [..., 1025] -> [..., Z]."""
-    return jnp.maximum(spectrum @ k.group_matrix, 1e-12)
+    # explicit precision: TPU's DEFAULT matmul runs in bfloat16, whose
+    # 2^-8 quantization of the band powers was the dominant ODG noise
+    # of the float32 tier (1.1e-2 -> 1.3e-4 once fixed)
+    return jnp.maximum(
+        jnp.dot(spectrum, k.group_matrix,
+                precision=jax.lax.Precision.HIGHEST), 1e-12)
 
 
 def spread(k: FFTEarConsts, pitch_power: jnp.ndarray,
@@ -240,7 +249,8 @@ def spread(k: FFTEarConsts, pitch_power: jnp.ndarray,
     log_a_ucee = 0.4 * jnp.log(a_uce)  # [..., Z]
 
     # lower (constant) part, j <= i, includes the diagonal
-    e2 = ene @ k.lower_matrix
+    e2 = jnp.dot(ene, k.lower_matrix,
+                 precision=jax.lax.Precision.HIGHEST)
 
     # upper (level-dependent) part, j > i, in static blocks of destination
     # bands (an unrolled Python loop: lax.scan here compiles pathologically
