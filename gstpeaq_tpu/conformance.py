@@ -42,6 +42,26 @@ CONFORMANCE_ADVANCED = {
 }
 
 
+# item -> ITU reference ODG (doc/make_conformance_tables.sh:62-77,107-122)
+ITU_ODG_BASIC = {
+    "acodsna": -0.676, "bcodtri": -0.304, "ccodsax": -1.829,
+    "ecodsmg": -0.412, "fcodsb1": -1.195, "fcodtr1": -0.598,
+    "fcodtr2": -1.927, "fcodtr3": -2.601, "gcodcla": -0.386,
+    "icodsna": -3.786, "kcodsme": 0.038, "lcodhrp": -0.876,
+    "lcodpip": -0.293, "mcodcla": -2.331, "ncodsfe": 0.045,
+    "scodclv": -0.435,
+}
+
+ITU_ODG_ADVANCED = {
+    "acodsna": -0.467, "bcodtri": -0.281, "ccodsax": -1.300,
+    "ecodsmg": -0.489, "fcodsb1": -0.877, "fcodtr1": -0.512,
+    "fcodtr2": -1.711, "fcodtr3": -2.662, "gcodcla": -0.573,
+    "icodsna": -3.664, "kcodsme": -0.029, "lcodhrp": -0.523,
+    "lcodpip": -0.219, "mcodcla": -1.435, "ncodsfe": 0.050,
+    "scodclv": -0.293,
+}
+
+
 @dataclasses.dataclass
 class ConformanceRow:
     item: str
@@ -49,6 +69,7 @@ class ConformanceRow:
     odg: float
     itu_di: float
     blessed_di: float
+    itu_odg: float = float("nan")
 
     @property
     def delta_itu(self) -> float:
@@ -81,6 +102,7 @@ def run(advanced: bool = False, dtype: str | None = None,
             "proprietary and not distributed with this repository)")
     settings = settings or C.DEFAULT_SETTINGS
     table = CONFORMANCE_ADVANCED if advanced else CONFORMANCE_BASIC
+    odg_table = ITU_ODG_ADVANCED if advanced else ITU_ODG_BASIC
     rows = []
     for item, (itu_di, blessed_di) in table.items():
         ref = native.load_audio_48k(os.path.join(
@@ -89,7 +111,8 @@ def run(advanced: bool = False, dtype: str | None = None,
         res = api.peaq(ref, test, advanced=advanced, dtype=dtype,
                        settings=settings)
         rows.append(ConformanceRow(item=item, di=res.di, odg=res.odg,
-                                   itu_di=itu_di, blessed_di=blessed_di))
+                                   itu_di=itu_di, blessed_di=blessed_di,
+                                   itu_odg=odg_table[item]))
     return rows
 
 
@@ -107,17 +130,76 @@ def report(rows: list[ConformanceRow]) -> str:
     return "\n".join(lines)
 
 
+def stats(rows: list[ConformanceRow]) -> str:
+    """ODG/DI bias and MSE vs the ITU targets, like the tail of
+    doc/make_conformance_tables.sh:80-84."""
+    d_odg = np.array([r.odg - r.itu_odg for r in rows])
+    d_di = np.array([r.delta_itu for r in rows])
+    return (f"ODG mean error (bias): {d_odg.mean():.3f}\n"
+            f"ODG mean square error: {(d_odg ** 2).mean():.6f}\n"
+            f"DI mean error (bias): {d_di.mean():.3f}\n"
+            f"DI mean square error: {(d_di ** 2).mean():.6f}")
+
+
+def xml_table(rows: list[ConformanceRow], advanced: bool) -> str:
+    """Regenerate the DocBook conformance table, format-compatible with the
+    reference's doc/conformance_{basic,advanced}_table.xml (emitted by
+    doc/make_conformance_tables.sh:27-54,86-104)."""
+    mode = "advanced" if advanced else "basic"
+    head = (
+        f'<table frame="none" id="conformance_{mode}_table">\n'
+        f"\t<title>Conformance test results for the {mode} version."
+        "</title>\n"
+        "\t<tgroup cols='4' align='right' colsep='1' rowsep='1'>\n"
+        "\t\t<colspec align='left' />\n"
+        "\t\t<thead>\n\t\t\t<row>\n"
+        "\t\t\t\t<entry>Item</entry>\n"
+        "\t\t\t\t<entry>Reference DI</entry>\n"
+        "\t\t\t\t<entry>Actual DI</entry>\n"
+        "\t\t\t\t<entry>Difference</entry>\n"
+        "\t\t\t</row>\n\t\t</thead>\n\t\t<tbody>")
+    body = []
+    for r in rows:
+        body.append(
+            "\t\t\t<row>\n"
+            f"\t\t\t\t<entry>{r.item}</entry>\n"
+            f"\t\t\t\t<entry>{r.itu_di:.3f}</entry>\n"
+            f"\t\t\t\t<entry>{r.di:.3f}</entry>\n"
+            f"\t\t\t\t<entry>{r.di - r.itu_di:.3f}</entry>\n"
+            "\t\t\t</row>")
+    tail = "\t\t</tbody>\n\t</tgroup>\n</table>"
+    return "\n".join([head, *body, tail])
+
+
 def main() -> int:
     import argparse
     p = argparse.ArgumentParser(description="BS.1387 conformance check")
     p.add_argument("--advanced", action="store_true")
     p.add_argument("--precision", default=None)
+    p.add_argument("--emit-tables", metavar="DIR", default=None,
+                   help="regenerate conformance_{basic,advanced}_table.xml "
+                   "into DIR and print ODG/DI bias + MSE (the "
+                   "make_conformance_tables.sh equivalent)")
     args = p.parse_args()
     if data_dir() is None:
         print("CONFORMANCEDATADIR not set, conformance test NOT run.")
         return 77
+    if args.emit_tables:
+        os.makedirs(args.emit_tables, exist_ok=True)
+        for advanced in (False, True):
+            rows = run(advanced, args.precision)
+            mode = "advanced" if advanced else "basic"
+            path = os.path.join(args.emit_tables,
+                                f"conformance_{mode}_table.xml")
+            with open(path, "w") as fh:
+                fh.write(xml_table(rows, advanced) + "\n")
+            print(f"# {mode}")
+            print(stats(rows))
+            print(f"wrote {path}")
+        return 0
     rows = run(args.advanced, args.precision)
     print(report(rows))
+    print(stats(rows))
     return 0 if max(abs(r.delta_blessed) for r in rows) < 1e-3 else 1
 
 

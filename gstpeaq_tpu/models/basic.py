@@ -88,15 +88,17 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         ref_w, test_w = weighted[0], weighted[1]
 
         # ---- stage B: scans over the frame axis ----
-        exc = FE.time_smear(k, jnp.moveaxis(unsmeared, 1, 0), axis=0)
+        uns_f = jnp.moveaxis(unsmeared, 1, 0)  # [F,2,CH,Z]
+        exc = FE.time_smear(k, uns_f, axis=0)
         exc = jnp.moveaxis(exc, 0, 1)          # [2,F,CH,Z]
         ref_e, test_e = exc[0], exc[1]
         adapted_ref, adapted_test, _ = level_adapt.level_adapt(
             k.adapt_a, avg_matrix, ref_e, test_e)
-        mod_ref, avg_loud_ref, _ = modproc.modulation(
-            k.adapt_a, unsmeared[0], C.FFT_STEPSIZE)
-        mod_test, _, _ = modproc.modulation(
-            k.adapt_a, unsmeared[1], C.FFT_STEPSIZE)
+        # both signals through one modulation pass
+        mod2, avg_loud2, _ = modproc.modulation(
+            k.adapt_a, uns_f, C.FFT_STEPSIZE)
+        mod_ref, mod_test = mod2[:, 0], mod2[:, 1]
+        avg_loud_ref = avg_loud2[:, 0]
 
         # loudness gate; src/gstpeaq.c:841-845,880-886
         loud_ref = FE.loudness(k, ref_e)       # [F,CH]

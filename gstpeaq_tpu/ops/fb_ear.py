@@ -277,7 +277,10 @@ def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
         y0=cu_state), -1, -2)
     # upper spreading U[i, j] = cu[i]^(j-i) for j > i (+ identity), applied
     # in static destination-band blocks (unrolled; see fft_ear.spread for
-    # why neither lax.scan nor one big einsum is used)
+    # why neither lax.scan nor one big einsum is used).  A fused Pallas
+    # kernel was tried and LOST to this XLA path (58 vs 28 ms at 480k
+    # instants: the 40-band lane padding to 128 triples the VPU work) —
+    # see git history of ops/pallas_fb.py before re-attempting.
     Z = k.band_count
     dtype = fb_re.dtype
     block = 8

@@ -112,6 +112,25 @@ def test_native_resample_speed():
     assert dt < 0.25, f"resample took {dt * 1000:.0f} ms"  # measured ~37 ms
 
 
+def test_conformance_table_regeneration():
+    """xml_table/stats regenerate the reference's DocBook table format
+    (doc/make_conformance_tables.sh equivalent); data-free check on
+    synthetic rows."""
+    from gstpeaq_tpu import conformance as CF
+    rows = [CF.ConformanceRow(item=i, di=d, odg=o, itu_di=d - 0.01,
+                              blessed_di=d, itu_odg=o + 0.02)
+            for i, d, o in [("acodsna", 1.30, -0.68),
+                            ("bcodtri", 1.95, -0.30)]]
+    xml = CF.xml_table(rows, advanced=False)
+    assert xml.startswith('<table frame="none" id="conformance_basic_table"')
+    assert "<entry>acodsna</entry>" in xml
+    assert "<entry>1.290</entry>" in xml  # itu_di to 3 decimals
+    assert xml.count("<row>") == 3  # header + 2 items
+    s = CF.stats(rows)
+    assert "ODG mean error (bias): -0.020" in s
+    assert "DI mean error (bias): 0.010" in s
+
+
 @pytest.mark.slow
 def test_cli_matches_reference_format(tmp_path):
     ref = TS.saw(64 * 1024)
