@@ -34,10 +34,10 @@ from . import iir
 
 @dataclasses.dataclass(frozen=True)
 class FBEarConsts:
-    h_phase: Any           # [4, 13, 128, 80] phase-split conv kernels
+    h_phase: Any           # [13, 128, 320] phase-concatenated conv kernels
     conv_precision: Any    # MXU precision for the FIR bank conv
     back_mask: Any         # [11]
-    back_mask_w: Any       # [3, 6] block form: W[c, r] = h[15 - (6c + r)]
+    back_mask_w: Any       # [2, 6] frame taps (Wa, Wb); _back_mask_blocks
     internal_noise: Any
     ear_a: Any
     adapt_a: Any
@@ -89,13 +89,21 @@ def build_consts(params: EP.FBEarParams, dtype=jnp.float64,
     h_im[:, 0] += params.h_im[:, C.FB_BUFFER_LENGTH]
     h = np.concatenate([h_re, h_im], axis=0)          # [80, 1456] lag order
     h_rev = h[:, ::-1]                                 # conv kernel layout
-    # phase-split conv kernels: out[4t + p] needs kpad shifted by 32p in a
-    # 13x128 window (see filter_bank); kpad = [zeros(16) | h_rev]
+    # Phase-split conv kernels: out[4t + p] needs kpad shifted by 32p in a
+    # 13x128 window (see filter_bank); kpad = [zeros(16) | h_rev].  All four
+    # phases read IDENTICAL input windows, so they concatenate along the
+    # output-channel axis into ONE conv: channel 80p + c is (phase p, band
+    # c) — the [ti, 4, 80] -> [4t+p] interleave then becomes a single
+    # reshape instead of a stack+slice pass, and 320 output channels fill
+    # the MXU's 128-lane tiles better than 80 (60% -> 83%).  (A further
+    # band-length bucketing into three narrower convs was tried: the MXU
+    # FLOPs halved but the per-bucket re/im de-interleave and 16-lane
+    # band-axis concatenates cost 4x the savings in copy traffic.)
     phases = []
     for p in range(4):
         kp = np.pad(h_rev, ((0, 0), (16 + 32 * p, 192 - 32 * p)))
         phases.append(kp.reshape(80, 13, 128).transpose(1, 2, 0))
-    h_phase = np.stack(phases)                         # [4, 13, 128, 80]
+    h_phase = np.concatenate(phases, axis=-1)          # [13, 128, 320]
     Z = C.FB_BAND_COUNT
     idx = np.arange(Z)
     expo = idx[:, None] - idx[None, :]                 # [j, k] -> j - k
@@ -125,14 +133,14 @@ def build_consts(params: EP.FBEarParams, dtype=jnp.float64,
 
 
 def _back_mask_blocks(back_mask: np.ndarray) -> np.ndarray:
-    """Rearrange the 11-tap backward-masking FIR into 6-instant blocks:
-    E1[f] = sum_i h[i] e0p[6f + 15 - i] = sum_{c,r} W[c, r] e0b[f + c, r]
-    with 6c + r = 15 - i (c = 0..2, r = 0..5)."""
-    w = np.zeros((3, 6))
-    for i in range(11):
-        q = 15 - i
-        w[q // 6, q % 6] = back_mask[i]
-    return w
+    """Rearrange the 11-tap backward-masking FIR into two 6-instant frame
+    taps: E1[f] = sum_i h[i] e0[6f + 5 - i] (i = 0..10, out-of-range
+    indices zero) touches only instants of frames f and f-1, so
+    E1[f] = sum_r Wb[r] e0f[f, r] + sum_r Wa[r] e0f[f - 1, r]
+    with Wb[r] = h[5 - r] and Wa[r] = h[11 - r] (Wa[0] = 0)."""
+    wb = back_mask[5::-1]
+    wa = np.concatenate([[0.0], back_mask[10:5:-1]])
+    return np.stack([wa, wb])                           # [2, 6]
 
 
 def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray, state=None,
@@ -222,9 +230,14 @@ def filter_bank(k: FBEarConsts, hp2: jnp.ndarray, history=None):
     aligned stride-32 correlation.  It is evaluated PHASE-SPLIT: for
     i = 4t + p, 32i = 128t + 32p, so reshaping z into 128-sample blocks
     turns each phase p into a stride-1 conv over the block axis with a
-    32p-shifted kernel (window 13, 128 features in, 80 out).  The
-    128-lane input dimension is what the MXU wants — ~2x faster than the
-    32-feature formulation, ~6x than XLA's native strided conv.
+    32p-shifted kernel (window 13, 128 features in).  The 128-lane input
+    dimension is what the MXU wants — ~2x faster than the 32-feature
+    formulation, ~6x than XLA's native strided conv.  All four phase
+    kernels see identical input windows, so they run as ONE conv with
+    4 * 80 output channels (build_consts concatenates them); channel
+    80p + c is (phase p, band c), so the de-interleave to instant order
+    is a single [ti, 4, 80] -> [4 ti, 80] reshape — the former
+    stack+slice interleave pass was ~12% of the advanced device time.
     """
     dtype = hp2.dtype
     lead = hp2.shape[:-1]
@@ -244,15 +257,12 @@ def filter_bank(k: FBEarConsts, hp2: jnp.ndarray, history=None):
     m = ti + 13                              # 128-blocks incl. window
     z = jnp.pad(z, ((0, 0), (16, m * 128 - 16 - z.shape[-1])))
     blocks = z.reshape(n, m, 128)
-    phase_outs = []
-    for p in range(4):
-        o = jax.lax.conv_general_dilated(
-            blocks, k.h_phase[p], window_strides=(1,), padding="VALID",
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=dtype,
-            precision=k.conv_precision)
-        phase_outs.append(o[:, :ti])         # [n, ti, 80]
-    out = jnp.stack(phase_outs, 2).reshape(n, 4 * ti, 80)
+    o = jax.lax.conv_general_dilated(
+        blocks, k.h_phase, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=dtype,
+        precision=k.conv_precision)          # [n, ti + 1, 320]
+    out = o[:, :ti].reshape(n, 4 * ti, 80)
     out = out[:, :n_inst].reshape(*lead, n_inst, 80)
     return out[..., :40], out[..., 40:]
 
@@ -286,6 +296,11 @@ def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
     block = 8
     i_idx = jnp.arange(Z, dtype=dtype)
     log_cu = jnp.log(cu)[..., None]  # [..., Z, 1]
+    # NOTE: keep re/im as SEPARATE block sums — stacking them on a leading
+    # axis (to share the exp weights) was tried and broke XLA's fusion: the
+    # [.., I, Z, block] weight tensor materialized and the stage went 4.5x
+    # slower.  In this form each block is one HBM-bound fused
+    # mul+exp+reduce over fb and log_cu.
     ups_re, ups_im = [], []
     for jb in range(0, Z, block):
         j = jnp.arange(jb, min(jb + block, Z), dtype=dtype)
@@ -321,30 +336,38 @@ def back_and_forward_masking(k: FBEarConsts, e0: jnp.ndarray, n_frames: int,
         e0_tail, exc0 = None, None
     else:
         e0_tail, exc0 = state
-    if e0_tail is None:
-        pad = [(0, 0)] * (e0.ndim - 2) + [(10, 0), (0, 0)]
-        e0p = jnp.pad(e0, pad)
-    else:
-        e0p = jnp.concatenate([e0_tail, e0], axis=-2)
     ipf = C.FB_FRAMESIZE // C.FB_SUBSAMPLING  # 6
-    # blocked FIR: E1[f] = sum_{c,r} W[c, r] e0b[f + c, r] with e0b the
-    # instants regrouped by frame — contiguous slices + one [3, 6]
-    # contraction instead of 11 strided (step-6) slices, which lower to
-    # large TPU gathers (they were ~25% of the advanced device time)
-    tailpad = [(0, 0)] * (e0.ndim - 2) + [(0, 2), (0, 0)]
-    e0b = jnp.pad(e0p, tailpad).reshape(
-        *e0.shape[:-2], n_frames + 2, ipf, e0.shape[-1])
-    e1 = None
-    for c in range(3):  # mul+reduce fuses; no stacked [.., F, 3, 6, Z]
-        term = jnp.sum(e0b[..., c:c + n_frames, :, :]
-                       * k.back_mask_w[c, :, None], axis=-2)
-        e1 = term if e1 is None else e1 + term
+    # blocked FIR: the 11 taps of frame f touch only instants of frames f
+    # and f-1 (see _back_mask_blocks), so E1 is two [6]-contractions over
+    # the frame-grouped instants (a free reshape) and a one-frame shift —
+    # no strided slices, no padded copy of the full instants axis (the
+    # former padded 3-block form was ~9% of the advanced device time)
+    e0f = e0.reshape(*e0.shape[:-2], n_frames, ipf, e0.shape[-1])
+    wa, wb = k.back_mask_w[0], k.back_mask_w[1]
+    sb = jnp.sum(e0f * wb[:, None], axis=-2)            # [..., F, Z]
+    sa = jnp.sum(e0f * wa[:, None], axis=-2)
+    if e0_tail is None:
+        prev = jnp.zeros_like(sa[..., :1, :])
+    else:  # previous chunk's last frame, instants 1..5 (wa[0] = 0)
+        prev = jnp.sum(e0_tail[..., -5:, :] * wa[1:, None],
+                       axis=-2, keepdims=True)
+    e1 = sb + jnp.concatenate([prev, sa[..., :-1, :]], axis=-2)
     unsmeared = e1 + k.internal_noise
-    # forward masking: scan over the frame axis (axis -2)
-    excitation = iir.smoothing_filter(k.ear_a, unsmeared, axis=-2, y0=exc0)
+    # forward masking: per-band recurrence over the frame axis.  The banded
+    # Toeplitz-GEMM form beats associative_scan here: the scan's ~2*log2(F)
+    # stride-2 slice/pad levels were the single largest line of the advanced
+    # device profile (iir.py:33, ~18% of busy time at microbatch 8).
+    excitation = iir.smoothing_filter_banded(k.ear_a, unsmeared, axis=-2,
+                                             y0=exc0)
     if return_state:
-        return (excitation, unsmeared,
-                (e0p[..., -10:, :], excitation[..., -1, :]))
+        if e0.shape[-2] >= 10:
+            tail_new = e0[..., -10:, :]
+        else:
+            base = (e0_tail if e0_tail is not None
+                    else jnp.zeros((*e0.shape[:-2], 10, e0.shape[-1]),
+                                   e0.dtype))
+            tail_new = jnp.concatenate([base, e0], axis=-2)[..., -10:, :]
+        return excitation, unsmeared, (tail_new, excitation[..., -1, :])
     return excitation, unsmeared
 
 

@@ -302,7 +302,8 @@ def time_smear(k: FFTEarConsts, unsmeared: jnp.ndarray, axis: int = 0,
     src/fftearmodel.c:496-504.  The filtered state is a linear recurrence
     solved in log-depth; the max is elementwise.  `state` carries the
     filtered excitation across chunks (streaming)."""
-    filtered = iir.smoothing_filter(k.ear_a, unsmeared, axis=axis, y0=state)
+    filtered = iir.smoothing_filter_banded(k.ear_a, unsmeared, axis=axis,
+                                           y0=state)
     out = jnp.maximum(filtered, unsmeared)
     if return_state:
         return out, jnp.take(filtered, -1, axis=axis)

@@ -161,11 +161,18 @@ def linear_recurrence_blocked(a, b: jnp.ndarray, y0=None,
                         precision=jax.lax.Precision.HIGHEST)
 
     # cross-block exclusive prefix: entry state of block k is
-    # E_k = a^L E_{k-1} + final_{k-1}, E_0 = y0 (log-depth over g)
+    # E_k = a^L E_{k-1} + final_{k-1}, E_0 = y0.  For sample-rate inputs g
+    # is still thousands of blocks, and associative_scan's ~2*log2(g)
+    # slice/pad levels dominate — recurse into the blocked scheme once
+    # (g -> g / block) before falling back to the log-depth scan.
     a_l = jnp.asarray(pw_np[block], dtype)
     init = (jnp.zeros((n,), dtype) if y0 is None
             else jnp.asarray(y0, dtype).reshape(-1))
-    inclusive = linear_recurrence(a_l, prefix[..., -1], axis=-1, y0=init)
+    if g > 2 * block:
+        inclusive = linear_recurrence_blocked(pw_np[block], prefix[..., -1],
+                                              y0=init, block=block)
+    else:
+        inclusive = linear_recurrence(a_l, prefix[..., -1], axis=-1, y0=init)
     entries = jnp.concatenate(
         [init[:, None], inclusive[:, :-1]], axis=-1)   # state BEFORE block k
 

@@ -120,19 +120,22 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
         fn = _jitted_basic_batch(playback_level, settings, dtype)
     n = len(refs)
     mb = min(microbatch, n) if microbatch else n
-    odg, di, movs = [], [], []
+    outs, takes = [], []
     for start in range(0, n, mb):
         chunk = [a[start:start + mb] for a in arrays]
         pad = mb - chunk[0].shape[0]
         if pad:
             chunk = [np.concatenate([c, c[-1:].repeat(pad, 0)]) for c in chunk]
-        out = fn(*chunk)
-        take = mb - pad
-        odg.append(np.asarray(out.odg)[:take])
-        di.append(np.asarray(out.di)[:take])
-        movs.append(np.asarray(out.movs)[:take])
+        # dispatch every chunk before materializing any result: a host
+        # round trip on this backend is ~29 ms, and syncing inside the
+        # dispatch loop would serialize it with the device compute
+        outs.append(fn(*chunk))
+        takes.append(mb - pad)
     return {
-        "odg": np.concatenate(odg),
-        "di": np.concatenate(di),
-        "movs": np.concatenate(movs),
+        "odg": np.concatenate([np.asarray(o.odg)[:t]
+                               for o, t in zip(outs, takes)]),
+        "di": np.concatenate([np.asarray(o.di)[:t]
+                              for o, t in zip(outs, takes)]),
+        "movs": np.concatenate([np.asarray(o.movs)[:t]
+                                for o, t in zip(outs, takes)]),
     }

@@ -38,7 +38,7 @@ def realistic_pairs(n, seconds, seed=3):
     return refs, tests
 
 
-def _run_tier(dtype, advanced, fft, pairs, seconds):
+def _run_tier(dtype, advanced, fft, pairs, seconds, front_precision=None):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -46,6 +46,20 @@ def _run_tier(dtype, advanced, fft, pairs, seconds):
         # must run before any backend use; a clean subprocess guarantees it
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+    if front_precision:
+        # override the two large front-end GEMMs' MXU precision (rDFT +
+        # FB conv) to measure the ODG cost of each precision tier
+        import dataclasses
+        prec = dict(default=jax.lax.Precision.DEFAULT,
+                    high=jax.lax.Precision.HIGH,
+                    highest=jax.lax.Precision.HIGHEST)[front_precision]
+        from gstpeaq_tpu.ops import fb_ear as FB
+        from gstpeaq_tpu.ops import fft_ear as FE
+        fe_orig, fb_orig = FE.build_consts, FB.build_consts
+        FE.build_consts = lambda *a, **kw: dataclasses.replace(
+            fe_orig(*a, **kw), dft_precision=prec)
+        FB.build_consts = lambda *a, **kw: dataclasses.replace(
+            fb_orig(*a, **kw), conv_precision=prec)
     if fft:
         from gstpeaq_tpu.ops import fft_ear as FE
         orig = FE.build_consts
@@ -66,6 +80,9 @@ def main():
     ap.add_argument("--fft", action="store_true",
                     help="force the VPU FFT instead of the DFT GEMM")
     ap.add_argument("--advanced", action="store_true")
+    ap.add_argument("--front-precision", default=None,
+                    choices=["default", "high", "highest"],
+                    help="override the rDFT/FB-conv GEMM precision")
     ap.add_argument("--pairs", type=int, default=4)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--save", default=None,
@@ -78,8 +95,10 @@ def main():
 
     t0 = time.time()
     out = _run_tier(args.dtype, args.advanced, args.fft, args.pairs,
-                    args.seconds)
-    print(f"{args.dtype}{' fft' if args.fft else ''} "
+                    args.seconds, args.front_precision)
+    print(f"{args.dtype}{' fft' if args.fft else ''}"
+          f"{' front=' + args.front_precision if args.front_precision else ''}"
+          f" "
           f"({time.time() - t0:.0f} s incl compile):",
           np.round(out["odg"], 6), flush=True)
     if args.save:

@@ -1,0 +1,101 @@
+"""XLA op-level profile of the batched PEAQ program on the real TPU.
+
+Traces one steady-state iteration with jax.profiler and aggregates
+device-side op self-times from the xplane via xprof (the ground truth the
+stage-substitution tool tools/tpu_stage_cost.py approximates).
+
+Usage: python tools/tpu_opprofile.py [--mode basic|advanced] [--mb N]
+                                     [--dtype float32|mixed] [--top N]
+"""
+import argparse
+import glob
+import os
+import sys
+import time
+
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+sys.path.insert(0, "/root/repo")
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import bench as BE
+from gstpeaq_tpu import constants as C
+from gstpeaq_tpu.parallel import batch as B
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="advanced",
+                    choices=["basic", "advanced"])
+    ap.add_argument("--mb", type=int, default=8)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--logdir", default="/tmp/peaq_xprof")
+    args = ap.parse_args()
+
+    adv = args.mode == "advanced"
+    refs, tests = BE.make_pairs(args.mb, args.seconds)
+    arrays = [jax.device_put(a)
+              for a in B.prepare_batch(refs, tests, adv)]
+    if adv:
+        fn = B._jitted_advanced_batch(92.0, C.DEFAULT_SETTINGS, args.dtype)
+    else:
+        fn = B._jitted_basic_batch(92.0, C.DEFAULT_SETTINGS, args.dtype)
+    np.asarray(fn(*arrays).odg)   # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(fn(*arrays).odg)
+    wall = time.perf_counter() - t0
+    print(f"# steady-state: {wall * 1e3:.1f} ms "
+          f"({args.mb * args.seconds / wall:.0f} audio-sec/s)", flush=True)
+
+    os.makedirs(args.logdir, exist_ok=True)
+    with jax.profiler.trace(args.logdir):
+        for _ in range(2):
+            np.asarray(fn(*arrays).odg)
+
+    xplanes = sorted(glob.glob(
+        os.path.join(args.logdir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime)
+    assert xplanes, f"no xplane under {args.logdir}"
+    path = xplanes[-1]
+    print(f"# xplane: {path}", file=sys.stderr)
+
+    import json
+
+    from xprof.convert import raw_to_tool_data as r2t
+    data, _ = r2t.xspace_to_tool_data([path], "framework_op_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    table = json.loads(data)[0]
+    ids = [c["id"] for c in table["cols"]]
+    entries = []
+    for row in table["rows"]:
+        rec = {i: (cell or {}).get("v") for i, cell in zip(ids, row["c"])}
+        if rec.get("host_or_device") != "Device":
+            continue
+        entries.append((rec["operation"], rec["type"],
+                        float(rec["total_self_time"]),
+                        int(rec["occurrences"]),
+                        rec.get("bound_by", "")))
+    entries.sort(key=lambda e: -e[2])
+    total = sum(e[2] for e in entries)
+    print(f"# total device self-time: {total / 1e3:.1f} ms over 2 iters")
+    bycat = {}
+    for _, cat, us, _, _ in entries:
+        bycat[cat] = bycat.get(cat, 0.0) + us
+    print("# by category:")
+    for cat, us in sorted(bycat.items(), key=lambda kv: -kv[1]):
+        print(f"#   {us / 1e3:9.2f} ms {100 * us / total:5.1f}%  {cat}")
+    print(f"{'self ms':>9} {'%':>5} {'n':>5} {'bound':>6}  op")
+    for name, cat, us, n, bound in entries[:args.top]:
+        print(f"{us / 1e3:9.2f} {100 * us / total:5.1f} {n:5d} {bound:>6}"
+              f"  [{cat}] {name[:100]}")
+
+
+if __name__ == "__main__":
+    main()
