@@ -108,9 +108,12 @@ def main() -> None:
     # about all three); a failure prints a JSON record with value 0 rather
     # than silently dropping the tier
     for metric, kwargs in [
+        # microbatch 16: each jit execute costs ~33 ms of host overhead on
+        # the tunneled backend, so chunks must be big enough to hide it
+        # under device compute (mb8 busy time dropped below that floor)
         (f"audio-seconds/sec/chip (advanced PEAQ, batch {batch})",
          dict(advanced=True, batch=batch, seconds=seconds, dtype=dtype,
-              iters=3, microbatch=8)),
+              iters=3, microbatch=16)),
         (f"audio-seconds/sec/chip (basic PEAQ, accurate tier, batch {batch})",
          dict(advanced=False, batch=batch, seconds=seconds,
               dtype="mixed" if on_tpu else "float64", iters=3,

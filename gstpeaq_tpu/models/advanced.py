@@ -59,8 +59,8 @@ def make_pipeline(playback_level: float = 92.0,
         kf, kb, avg_matrix = consts
         # ------------------ FFT path: SegmentalNMR + EHS ------------------
         n_fft = ref_fft.shape[0] // C.FFT_STEPSIZE - 1
-        rframes = framing.frames_overlap50(ref_fft, n_fft)   # [F,CH,2048]
-        tframes = framing.frames_overlap50(test_fft, n_fft)
+        rblocks = framing.blocks_hop(ref_fft, n_fft)   # [F+1,CH,1024]
+        tblocks = framing.blocks_hop(test_fft, n_fft)
         above_fft = framing.above_threshold_signal(
             ref_fft.astype(sdtype), n_fft, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
         fft_frame_valid = None
@@ -69,12 +69,16 @@ def make_pipeline(playback_level: float = 92.0,
             above_fft = above_fft & fft_frame_valid
         _, _, committed_fft = accum.activity(above_fft)
 
-        both = jnp.stack([rframes, tframes])
-        power, weighted, unsmeared, thresh = FE.stateless(kf, both)
+        both = jnp.stack([rblocks, tblocks])
+        power, weighted, unsmeared, thresh, spec_ri = FE.stateless_hop(
+            kf, both, return_spec=True)
+        delta_w = FE.noise_delta_weighted(
+            kf, rblocks - tblocks, spec_ri[0] + spec_ri[1])
         exc = FE.time_smear(kf, jnp.moveaxis(unsmeared, 1, 0), axis=0)
         exc = jnp.moveaxis(exc, 0, 1)
         nmr_mean, _ = MOVS.nmr(kf.group_matrix, kf.masking_difference,
-                               weighted[0], weighted[1], exc[0])
+                               weighted[0], weighted[1], exc[0],
+                               delta_weighted=delta_w)
         ehs_val, ehs_valid = MOVS.ehs(
             weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if kf.ehs_fwd is None else
@@ -162,9 +166,9 @@ def make_pipeline(playback_level: float = 92.0,
         di = nn.di_advanced(mov_vec, settings.clamp_movs)
         odg = nn.odg(di)
 
-        half = C.FFT_FRAMESIZE // 2
-        rhalf = rframes[..., :half].astype(sdtype)
-        nhalf = rhalf - tframes[..., :half].astype(sdtype)
+        # first half of frame f = hop block f  ([F, CH, 1024])
+        rhalf = rblocks[:-1].astype(sdtype)
+        nhalf = rhalf - tblocks[:-1].astype(sdtype)
         if fft_frame_valid is not None:
             sel = fft_frame_valid[:, None, None]
             rhalf = jnp.where(sel, rhalf, 0.0)

@@ -65,9 +65,9 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         # matrix) inline into the HLO and slow compiles ~60x on this backend
         k, avg_matrix = consts
         n_frames = ref_sig.shape[0] // C.FFT_STEPSIZE - 1
-        ref_frames = framing.frames_overlap50(ref_sig, n_frames)   # [F,CH,2048]
-        test_frames = framing.frames_overlap50(test_sig, n_frames)
-        channels = ref_frames.shape[1]
+        ref_blocks = framing.blocks_hop(ref_sig, n_frames)  # [F+1,CH,1024]
+        test_blocks = framing.blocks_hop(test_sig, n_frames)
+        channels = ref_blocks.shape[1]
 
         above = framing.above_threshold_signal(
             ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE,
@@ -82,8 +82,11 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         has, active, committed = accum.activity(above)
 
         # ---- stage A: stateless ear model on both signals ----
-        both = jnp.stack([ref_frames, test_frames])  # [2,F,CH,2048]
-        power, weighted, unsmeared, thresh = FE.stateless(k, both)
+        both = jnp.stack([ref_blocks, test_blocks])  # [2,F+1,CH,1024]
+        power, weighted, unsmeared, thresh, spec_ri = FE.stateless_hop(
+            k, both, return_spec=True)
+        delta_w = FE.noise_delta_weighted(
+            k, ref_blocks - test_blocks, spec_ri[0] + spec_ri[1])
         ref_p, test_p = power[0], power[1]
         ref_w, test_w = weighted[0], weighted[1]
 
@@ -120,7 +123,8 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
             adapted_ref, adapted_test)
         bw_ref, bw_test, bw_valid = MOVS.bandwidth(ref_p, test_p)
         nmr_mean, disturbed = MOVS.nmr(
-            k.group_matrix, k.masking_difference, ref_w, test_w, ref_e)
+            k.group_matrix, k.masking_difference, ref_w, test_w, ref_e,
+            delta_weighted=delta_w)
         p_bin, steps_bin = MOVS.prob_detect(
             ref_e, test_e, settings.use_floor_for_steps_above_threshold)
         ehs_val, ehs_valid = MOVS.ehs(
@@ -155,9 +159,9 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         odg = nn.odg(di)
 
         # totalsnr bookkeeping; src/gstpeaq.c:913-918
-        half = C.FFT_FRAMESIZE // 2
-        rhalf = ref_frames[..., :half].astype(sdtype)
-        nhalf = rhalf - test_frames[..., :half].astype(sdtype)
+        # first half of frame f = hop block f  ([F, CH, 1024])
+        rhalf = ref_blocks[:-1].astype(sdtype)
+        nhalf = rhalf - test_blocks[:-1].astype(sdtype)
         if frame_valid is not None:
             sel = frame_valid[:, None, None]
             rhalf = jnp.where(sel, rhalf, 0.0)

@@ -80,14 +80,25 @@ def bandwidth(ref_power: jnp.ndarray, test_power: jnp.ndarray):
 
 def nmr(group_matrix: jnp.ndarray, masking_difference: jnp.ndarray,
         ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
-        ref_excitation: jnp.ndarray):
+        ref_excitation: jnp.ndarray, delta_weighted=None):
     """NMR per frame + disturbed-frame flag; src/movs.c:970-1023.
 
     ref/test_weighted: [..., 1025], ref_excitation: [..., Z].
+    `delta_weighted` (optional): accurately-cancelled wr - wt from
+    fft_ear.noise_delta_weighted; the noise spectrum then evaluates as
+    ((wr - wt) / (sqrt(wr) + sqrt(wt)))^2 — algebraically identical to
+    (sqrt(wr) - sqrt(wt))^2 but immune to the f32 cancellation that
+    dominates NMR on near-transparent pairs.
     Returns (nmr_mean, disturbed) with disturbed in {0., 1.}.
     """
-    noise_spectrum = (ref_weighted - 2.0 * jnp.sqrt(ref_weighted * test_weighted)
-                      + test_weighted)
+    if delta_weighted is not None:
+        denom = jnp.sqrt(ref_weighted) + jnp.sqrt(test_weighted)
+        ratio = delta_weighted / jnp.where(denom > 0.0, denom, 1.0)
+        noise_spectrum = ratio * ratio
+    else:
+        noise_spectrum = (ref_weighted
+                          - 2.0 * jnp.sqrt(ref_weighted * test_weighted)
+                          + test_weighted)
     noise_in_bands = jnp.maximum(
         jnp.dot(noise_spectrum, group_matrix,
                 precision=jax.lax.Precision.HIGHEST), 1e-12)

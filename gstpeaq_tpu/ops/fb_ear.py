@@ -171,21 +171,25 @@ def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray, state=None,
         if return_state:
             return y, (u_p[..., -1], jnp.conj(u_p[..., -1]))
         return y
-    # real distinct poles: two real scans.  float() the np scalars: a
-    # strong-typed np.float64 gain would silently promote f32 inputs to
-    # f64 under x64 (broke the mixed-precision advanced path).
+    # Real distinct poles: CASCADE of two real scans, w = rec(lam_p, v),
+    # y = rec(lam_m, w).  The partial-fraction form y = g_p u_p + g_m u_m
+    # has |g| ~ 369 for the DC filter's near-degenerate poles, which
+    # amplifies the f32 state quantization ~370x (measured 1.25e-4 vs
+    # 4.2e-5 relative DC-output error); the cascade has no large gains.
+    # (The complex branch above is already well-conditioned: 2 Re(g u)
+    # reduces to Re u + (Re lam / Im lam) Im u with |Im u| ~ Im lam.)
+    # float() the np scalars: a strong-typed np.float64 would silently
+    # promote f32 inputs to f64 under x64.
     disc = float(np.sqrt(disc2))
     lam_p = (a1 + disc) / 2.0
     lam_m = (a1 - disc) / 2.0
-    g_p = lam_p / (lam_p - lam_m)
-    g_m = lam_m / (lam_m - lam_p)
     s_p = jnp.real(s_p).astype(dtype) if s_p is not None else None
     s_m = jnp.real(s_m).astype(dtype) if s_m is not None else None
-    u_p = iir.linear_recurrence_blocked(lam_p, v, y0=s_p)
-    u_m = iir.linear_recurrence_blocked(lam_m, v, y0=s_m)
-    y = g_p * u_p + g_m * u_m
+    w = iir.linear_recurrence_blocked(lam_p, v, y0=s_p)
+    y = iir.linear_recurrence_blocked(lam_m, w, y0=s_m)
     if return_state:
-        return y, (u_p[..., -1].astype(cdtype), u_m[..., -1].astype(cdtype))
+        # state = (w_last, y_last), stored complex for a stable pytree
+        return y, (w[..., -1].astype(cdtype), y[..., -1].astype(cdtype))
     return y
 
 

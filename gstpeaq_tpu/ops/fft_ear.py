@@ -296,6 +296,76 @@ def stateless(k: FFTEarConsts, frames: jnp.ndarray):
     return power, weighted, unsmeared, threshold_reached
 
 
+def _spec_ri_hop(k: FFTEarConsts, blocks: jnp.ndarray) -> jnp.ndarray:
+    """Windowed rDFT of hop blocks [..., F + 1, CH, 1024] as stacked
+    real/imag parts [..., F, CH, 2050]: two half-frame GEMMs
+    spec = b0 @ W[:1024] + b1 @ W[1024:] (frame f = blocks[f]|blocks[f+1])."""
+    b0 = blocks[..., :-1, :, :]
+    b1 = blocks[..., 1:, :, :]
+    hop = C.FFT_STEPSIZE
+    if k.dft_matrix is not None:
+        return (jnp.dot(b0, k.dft_matrix[:hop], precision=k.dft_precision)
+                + jnp.dot(b1, k.dft_matrix[hop:], precision=k.dft_precision))
+    windowed = jnp.concatenate([b0, b1], axis=-1) * k.hann
+    spec = rfft_flat(windowed)
+    return jnp.concatenate([jnp.real(spec), jnp.imag(spec)], axis=-1)
+
+
+def stateless_hop(k: FFTEarConsts, blocks: jnp.ndarray,
+                  return_spec: bool = False):
+    """stateless() taking hop-sized blocks [..., F + 1, CH, 1024] instead
+    of materialized 50%-overlap frames (frame f = blocks[f] | blocks[f+1]).
+
+    The windowed rDFT splits into two half-frame GEMMs — same FLOPs, but
+    the 2x overlap duplication (frames_overlap50 + the [2, F, CH, 2048]
+    stack) never materializes; those copies were ~27% of the basic device
+    time.  Returns (power_spectrum, weighted_power_spectrum,
+    unsmeared_excitation, energy_threshold_reached[, spec_ri]), frame
+    axis -3.
+    """
+    sdtype = k.hann.dtype
+    bdtype = k.internal_noise.dtype
+    x = blocks.astype(sdtype)
+    bins = C.FFT_FRAMESIZE // 2 + 1
+    spec_ri = _spec_ri_hop(k, x)
+    power = (spec_ri[..., :bins] ** 2
+             + spec_ri[..., bins:] ** 2) * k.level_factor
+    weighted = power * k.om_weight
+    band_power = group_into_bands(k, weighted).astype(bdtype)
+    unsmeared = spread(k, band_power + k.internal_noise)
+    energy = jnp.sum(x[..., 1:, :, :] ** 2, axis=-1)   # second half-frame
+    threshold_reached = energy >= C.EHS_ENERGY_THRESHOLD
+    if return_spec:
+        return power, weighted, unsmeared, threshold_reached, spec_ri
+    return power, weighted, unsmeared, threshold_reached
+
+
+def noise_delta_weighted(k: FFTEarConsts, diff_blocks: jnp.ndarray,
+                         spec_sum: jnp.ndarray) -> jnp.ndarray:
+    """Accurately-cancelled weighted power difference wr - wt for the NMR
+    noise spectrum (src/movs.c:970-1023).
+
+    |R|^2 - |T|^2 = Dre*Sre + Dim*Sim with D = rDFT(ref - test) and
+    S = R + T: the input difference is EXACT in floating point (both
+    signals share the input dtype), so the error of the difference
+    spectrum scales with |D| (the distortion) instead of |R| (the
+    signal).  With the plain (sqrt(wr) - sqrt(wt))^2 form, f32-spectrum
+    tiers lose the NMR of near-transparent pairs to cancellation (~9%
+    relative, the dominant term of their ODG drift); this form is
+    algebraically identical and f64-exact.
+
+    diff_blocks: [..., F + 1, CH, 1024] (ref - test hop blocks);
+    spec_sum: [..., F, CH, 2050] (ref spec_ri + test spec_ri).
+    Returns wr - wt: [..., F, CH, 1025].
+    """
+    sdtype = k.hann.dtype
+    bins = C.FFT_FRAMESIZE // 2 + 1
+    d = _spec_ri_hop(k, diff_blocks.astype(sdtype))
+    delta_power = (d[..., :bins] * spec_sum[..., :bins]
+                   + d[..., bins:] * spec_sum[..., bins:]) * k.level_factor
+    return delta_power * k.om_weight
+
+
 def time_smear(k: FFTEarConsts, unsmeared: jnp.ndarray, axis: int = 0,
                state=None, return_state: bool = False):
     """Time-domain smearing E = max(filtered, unsmeared);

@@ -81,14 +81,17 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         """Process one chunk.  ref/test_sig: [(Fc+1)*1024, CH] float32."""
         k, avg_matrix = consts
         n_frames = ref_sig.shape[0] // C.FFT_STEPSIZE - 1
-        ref_frames = framing.frames_overlap50(ref_sig, n_frames)
-        test_frames = framing.frames_overlap50(test_sig, n_frames)
+        ref_blocks = framing.blocks_hop(ref_sig, n_frames)
+        test_blocks = framing.blocks_hop(test_sig, n_frames)
         above = framing.above_threshold_signal(
             ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE,
             C.FFT_STEPSIZE)  # [Fc]
 
-        both = jnp.stack([ref_frames, test_frames])
-        power, weighted, unsmeared, thresh = FE.stateless(k, both)
+        both = jnp.stack([ref_blocks, test_blocks])
+        power, weighted, unsmeared, thresh, spec_ri = FE.stateless_hop(
+            k, both, return_spec=True)
+        delta_w = FE.noise_delta_weighted(
+            k, ref_blocks - test_blocks, spec_ri[0] + spec_ri[1])
         exc, smear_new = FE.time_smear(
             k, jnp.moveaxis(unsmeared, 1, 0), axis=0,
             state=state["smear"], return_state=True)
@@ -120,7 +123,7 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         bw_ref, bw_test, bw_valid = MOVS.bandwidth(power[0], power[1])
         nmr_mean, disturbed = MOVS.nmr(
             k.group_matrix, k.masking_difference, weighted[0], weighted[1],
-            ref_e)
+            ref_e, delta_weighted=delta_w)
         p_bin, steps_bin = MOVS.prob_detect(
             ref_e, test_e, settings.use_floor_for_steps_above_threshold)
         ehs_val, ehs_valid = MOVS.ehs(
@@ -205,9 +208,8 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         # carry last 3 sqrt values of the extended sequence
         win_sqrts_new = jnp.moveaxis(ext[-3:], 0, 1)
 
-        half = C.FFT_FRAMESIZE // 2
-        rhalf = ref_frames[..., :half].astype(sdtype)
-        nhalf = rhalf - test_frames[..., :half].astype(sdtype)
+        rhalf = ref_blocks[:-1].astype(sdtype)  # first half of frame f
+        nhalf = rhalf - test_blocks[:-1].astype(sdtype)
 
         new_state = {
             "smear": smear_new,
@@ -353,18 +355,22 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
         ref/test_sig: [(Fc+1)*1024, CH]."""
         kf, kb, avg_matrix = consts
         n_frames = ref_sig.shape[0] // C.FFT_STEPSIZE - 1
-        ref_frames = framing.frames_overlap50(ref_sig, n_frames)
-        test_frames = framing.frames_overlap50(test_sig, n_frames)
+        ref_blocks = framing.blocks_hop(ref_sig, n_frames)
+        test_blocks = framing.blocks_hop(test_sig, n_frames)
         above = framing.above_threshold_signal(
             ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
-        both = jnp.stack([ref_frames, test_frames])
-        power, weighted, unsmeared, thresh = FE.stateless(kf, both)
+        both = jnp.stack([ref_blocks, test_blocks])
+        power, weighted, unsmeared, thresh, spec_ri = FE.stateless_hop(
+            kf, both, return_spec=True)
+        delta_w = FE.noise_delta_weighted(
+            kf, ref_blocks - test_blocks, spec_ri[0] + spec_ri[1])
         exc, smear_new = FE.time_smear(
             kf, jnp.moveaxis(unsmeared, 1, 0), axis=0,
             state=state["smear"], return_state=True)
         exc = jnp.moveaxis(exc, 0, 1)
         nmr_mean, _ = MOVS.nmr(kf.group_matrix, kf.masking_difference,
-                               weighted[0], weighted[1], exc[0])
+                               weighted[0], weighted[1], exc[0],
+                               delta_weighted=delta_w)
         ehs_val, ehs_valid = MOVS.ehs(
             weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if kf.ehs_fwd is None else
@@ -383,9 +389,8 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
             sums["EHSB"], jnp.where(ehs_valid[:, None], ehs_val, 0.0),
             ehs_valid.astype(dtype)[:, None] * one, tgate, active, any_above,
             t_last)
-        half = C.FFT_FRAMESIZE // 2
-        rhalf = ref_frames[..., :half].astype(sdtype)
-        nhalf = rhalf - test_frames[..., :half].astype(sdtype)
+        rhalf = ref_blocks[:-1].astype(sdtype)  # first half of frame f
+        nhalf = rhalf - test_blocks[:-1].astype(sdtype)
         new_state = dict(state)
         new_state.update(
             sums=sums, smear=smear_new, has_above_fft=has_prev | any_above,

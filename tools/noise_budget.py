@@ -215,8 +215,21 @@ def main():
 
     for name, make in INJECTIONS.items():
         mod, attr, _ = make(None)        # discover the patch target
-        orig = getattr(mod, attr)
-        _, _, repl = make(orig)          # rebuild closure over the original
+        if attr == "stateless":
+            # the pipelines call the hop-block form; adapt the frames-based
+            # injection onto it (frame f = blocks[f] | blocks[f + 1])
+            frames_orig = getattr(mod, attr)
+            _, _, frames_repl = make(frames_orig)
+            attr = "stateless_hop"
+            orig = getattr(mod, attr)
+
+            def repl(k, blocks, _fn=frames_repl):
+                frames = jnp.concatenate(
+                    [blocks[..., :-1, :, :], blocks[..., 1:, :, :]], axis=-1)
+                return _fn(k, frames)
+        else:
+            orig = getattr(mod, attr)
+            _, _, repl = make(orig)      # rebuild closure over the original
         setattr(mod, attr, repl)
         try:
             odg = run(refs, tests)

@@ -24,17 +24,35 @@ import numpy as np
 
 
 def realistic_pairs(n, seconds, seed=3):
-    import bench as BE
-    refs, tests = BE.make_pairs(n, seconds, seed=seed)
-    t = np.arange(refs[0].shape[0]) / 48000.0
+    """Pairs spanning MILD to SEVERE distortion so the resulting ODGs cover
+    the whole scale (~-0.3 .. -3.7).  A corpus whose ODGs all saturate near
+    the -3.98 floor under-weights MOV drift through the sigmoid and would
+    pass precision tiers that fail on conformance-grade items."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * 48000), dtype=np.float64) / 48000.0
     am = (1.0 + 0.35 * np.sin(2 * np.pi * 4.0 * t)
-          * np.sin(2 * np.pi * 0.7 * t)).astype(np.float32)[:, None]
-    rng = np.random.default_rng(9)
-    for i in range(len(refs)):
-        refs[i] = (refs[i] * am + 3e-4 * rng.standard_normal(
-            refs[i].shape).astype(np.float32))
-        tests[i] = (tests[i] * am + 3e-4 * rng.standard_normal(
-            refs[i].shape).astype(np.float32))
+          * np.sin(2 * np.pi * 0.7 * t))
+    refs, tests = [], []
+    # per-pair severity: test lowpass cutoff + level error + noise floor
+    specs = [(16000.0, 1.000, 1e-5), (13000.0, 0.995, 5e-5),
+             (10000.0, 0.985, 2e-4), (7000.0, 0.970, 6e-4)]
+    for i in range(n):
+        cutoff, gain, noise = specs[i % len(specs)]
+        f0 = 180.0 + 37.0 * (i % 11)
+        ref = np.zeros_like(t)
+        test = np.zeros_like(t)
+        k = 1
+        while k * f0 < 15000.0:
+            tone = np.sin(2 * np.pi * k * f0 * t + 0.3 * k) / k
+            ref += tone
+            if k * f0 < cutoff:
+                test += tone
+            k += 1
+        ref = 0.5 * ref * am + 1e-5 * rng.standard_normal(t.shape)
+        test = (0.5 * gain * test * am
+                + noise * rng.standard_normal(t.shape))
+        refs.append(np.stack([ref, ref], 1).astype(np.float32))
+        tests.append(np.stack([test, test], 1).astype(np.float32))
     return refs, tests
 
 
