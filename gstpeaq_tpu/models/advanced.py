@@ -69,16 +69,14 @@ def make_pipeline(playback_level: float = 92.0,
             above_fft = above_fft & fft_frame_valid
         _, _, committed_fft = accum.activity(above_fft)
 
-        both = jnp.stack([rblocks, tblocks])
-        power, weighted, unsmeared, thresh, spec_ri = FE.stateless_hop(
-            kf, both, return_spec=True)
-        delta_w = FE.noise_delta_weighted(
-            kf, rblocks - tblocks, spec_ri[0] + spec_ri[1])
+        power, weighted, unsmeared, thresh, delta_w = FE.stateless_pair_hop(
+            kf, rblocks, tblocks)
         exc = FE.time_smear(kf, jnp.moveaxis(unsmeared, 1, 0), axis=0)
         exc = jnp.moveaxis(exc, 0, 1)
-        nmr_mean, _ = MOVS.nmr(kf.group_matrix, kf.masking_difference,
-                               weighted[0], weighted[1], exc[0],
-                               delta_weighted=delta_w)
+        hi = kf.group_bin_hi
+        nmr_mean, _ = MOVS.nmr(kf.group_matrix[:hi], kf.masking_difference,
+                               weighted[0][..., :hi], weighted[1][..., :hi],
+                               exc[0], delta_weighted=delta_w)
         ehs_val, ehs_valid = MOVS.ehs(
             weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if kf.ehs_fwd is None else

@@ -82,11 +82,8 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         has, active, committed = accum.activity(above)
 
         # ---- stage A: stateless ear model on both signals ----
-        both = jnp.stack([ref_blocks, test_blocks])  # [2,F+1,CH,1024]
-        power, weighted, unsmeared, thresh, spec_ri = FE.stateless_hop(
-            k, both, return_spec=True)
-        delta_w = FE.noise_delta_weighted(
-            k, ref_blocks - test_blocks, spec_ri[0] + spec_ri[1])
+        power, weighted, unsmeared, thresh, delta_w = FE.stateless_pair_hop(
+            k, ref_blocks, test_blocks)
         ref_p, test_p = power[0], power[1]
         ref_w, test_w = weighted[0], weighted[1]
 
@@ -122,8 +119,10 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
             k.internal_noise, 1.5, 0.15, 0.5, 0.0, mod_ref, mod_test,
             adapted_ref, adapted_test)
         bw_ref, bw_test, bw_valid = MOVS.bandwidth(ref_p, test_p)
+        hi = k.group_bin_hi
         nmr_mean, disturbed = MOVS.nmr(
-            k.group_matrix, k.masking_difference, ref_w, test_w, ref_e,
+            k.group_matrix[:hi], k.masking_difference,
+            ref_w[..., :hi], test_w[..., :hi], ref_e,
             delta_weighted=delta_w)
         p_bin, steps_bin = MOVS.prob_detect(
             ref_e, test_e, settings.use_floor_for_steps_above_threshold)

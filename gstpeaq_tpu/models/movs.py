@@ -85,7 +85,9 @@ def nmr(group_matrix: jnp.ndarray, masking_difference: jnp.ndarray,
 
     ref/test_weighted: [..., 1025], ref_excitation: [..., Z].
     `delta_weighted` (optional): accurately-cancelled wr - wt from
-    fft_ear.noise_delta_weighted; the noise spectrum then evaluates as
+    fft_ear.stateless_pair_hop (grouping-supported bins only — slice the
+    weighted spectra and group_matrix to k.group_bin_hi to match); the
+    noise spectrum then evaluates as
     ((wr - wt) / (sqrt(wr) + sqrt(wt)))^2 — algebraically identical to
     (sqrt(wr) - sqrt(wt))^2 but immune to the f32 cancellation that
     dominates NMR on near-transparent pairs.

@@ -52,6 +52,7 @@ class FFTEarConsts:
     excitation_threshold: Any
     loudness_factor: Any
     band_count: int
+    group_bin_hi: int = C.FFT_FRAMESIZE // 2 + 1  # grouping-support bins
 
 
 # Registered as a pytree with the arrays as leaves so the bundle can be
@@ -68,12 +69,13 @@ _FFT_LEAF_FIELDS = (
 
 def _fft_consts_flatten(k):
     return (tuple(getattr(k, f) for f in _FFT_LEAF_FIELDS),
-            (k.dft_precision, k.band_count))
+            (k.dft_precision, k.band_count, k.group_bin_hi))
 
 
 def _fft_consts_unflatten(aux, children):
     kwargs = dict(zip(_FFT_LEAF_FIELDS, children))
-    return FFTEarConsts(dft_precision=aux[0], band_count=aux[1], **kwargs)
+    return FFTEarConsts(dft_precision=aux[0], band_count=aux[1],
+                        group_bin_hi=aux[2], **kwargs)
 
 
 jax.tree_util.register_pytree_node(
@@ -158,6 +160,10 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
         excitation_threshold=f(params.excitation_threshold),
         loudness_factor=f(params.loudness_factor),
         band_count=Z,
+        # last spectrum bin the critical-band grouping touches (~18 kHz);
+        # the NMR delta path only needs bins below it
+        group_bin_hi=int(np.nonzero(
+            params.group_matrix.any(axis=1))[0].max() + 1),
     )
 
 
@@ -311,8 +317,7 @@ def _spec_ri_hop(k: FFTEarConsts, blocks: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.real(spec), jnp.imag(spec)], axis=-1)
 
 
-def stateless_hop(k: FFTEarConsts, blocks: jnp.ndarray,
-                  return_spec: bool = False):
+def stateless_hop(k: FFTEarConsts, blocks: jnp.ndarray):
     """stateless() taking hop-sized blocks [..., F + 1, CH, 1024] instead
     of materialized 50%-overlap frames (frame f = blocks[f] | blocks[f+1]).
 
@@ -320,8 +325,9 @@ def stateless_hop(k: FFTEarConsts, blocks: jnp.ndarray,
     the 2x overlap duplication (frames_overlap50 + the [2, F, CH, 2048]
     stack) never materializes; those copies were ~27% of the basic device
     time.  Returns (power_spectrum, weighted_power_spectrum,
-    unsmeared_excitation, energy_threshold_reached[, spec_ri]), frame
-    axis -3.
+    unsmeared_excitation, energy_threshold_reached), frame axis -3.
+    The pipelines use stateless_pair_hop, which adds the
+    accurately-cancelled NMR difference spectrum at the same GEMM cost.
     """
     sdtype = k.hann.dtype
     bdtype = k.internal_noise.dtype
@@ -335,35 +341,55 @@ def stateless_hop(k: FFTEarConsts, blocks: jnp.ndarray,
     unsmeared = spread(k, band_power + k.internal_noise)
     energy = jnp.sum(x[..., 1:, :, :] ** 2, axis=-1)   # second half-frame
     threshold_reached = energy >= C.EHS_ENERGY_THRESHOLD
-    if return_spec:
-        return power, weighted, unsmeared, threshold_reached, spec_ri
     return power, weighted, unsmeared, threshold_reached
 
 
-def noise_delta_weighted(k: FFTEarConsts, diff_blocks: jnp.ndarray,
-                         spec_sum: jnp.ndarray) -> jnp.ndarray:
-    """Accurately-cancelled weighted power difference wr - wt for the NMR
-    noise spectrum (src/movs.c:970-1023).
+def stateless_pair_hop(k: FFTEarConsts, ref_blocks: jnp.ndarray,
+                       test_blocks: jnp.ndarray):
+    """stateless_hop for a ref/test PAIR with an accurately-cancelled NMR
+    noise difference — at the cost of exactly the same two rDFT GEMMs.
 
-    |R|^2 - |T|^2 = Dre*Sre + Dim*Sim with D = rDFT(ref - test) and
-    S = R + T: the input difference is EXACT in floating point (both
-    signals share the input dtype), so the error of the difference
-    spectrum scales with |D| (the distortion) instead of |R| (the
-    signal).  With the plain (sqrt(wr) - sqrt(wt))^2 form, f32-spectrum
-    tiers lose the NMR of near-transparent pairs to cancellation (~9%
-    relative, the dominant term of their ODG drift); this form is
-    algebraically identical and f64-exact.
+    The transform runs on (ref, ref - test) instead of (ref, test): the
+    input difference is EXACT in floating point, so the difference
+    spectrum D's error scales with |D| (the distortion) instead of |R|
+    (the signal), and the test spectrum reconstructs as T = R - D with
+    the same noise as computing it directly.  The weighted power
+    difference for NMR is then
+        wr - wt = level * om * (Dre * Sre + Dim * Sim),   S = R + T,
+    algebraically identical to the (sqrt(wr) - sqrt(wt))^2 form but
+    immune to the f32 cancellation that dominated the spectrum-f32
+    tiers' ODG drift on near-transparent pairs (~9% relative NMR error).
+    Only grouping-supported bins (group_bin_hi, ~18 kHz) are kept.
 
-    diff_blocks: [..., F + 1, CH, 1024] (ref - test hop blocks);
-    spec_sum: [..., F, CH, 2050] (ref spec_ri + test spec_ri).
-    Returns wr - wt: [..., F, CH, 1025].
+    ref/test_blocks: [..., F + 1, CH, 1024] hop blocks.  Returns
+    (power, weighted, unsmeared, energy_threshold, delta_weighted) with
+    the first four stacked [2(ref,test), ..., F, CH, :] and
+    delta_weighted [..., F, CH, group_bin_hi].
     """
     sdtype = k.hann.dtype
+    bdtype = k.internal_noise.dtype
     bins = C.FFT_FRAMESIZE // 2 + 1
-    d = _spec_ri_hop(k, diff_blocks.astype(sdtype))
-    delta_power = (d[..., :bins] * spec_sum[..., :bins]
-                   + d[..., bins:] * spec_sum[..., bins:]) * k.level_factor
-    return delta_power * k.om_weight
+    hi = k.group_bin_hi
+    ref = ref_blocks.astype(sdtype)
+    test = test_blocks.astype(sdtype)
+    both = jnp.stack([ref, ref - test])
+    spec = _spec_ri_hop(k, both)
+    r_ri, d_ri = spec[0], spec[1]
+    t_ri = r_ri - d_ri
+    spec2 = jnp.stack([r_ri, t_ri])
+    power = (spec2[..., :bins] ** 2
+             + spec2[..., bins:] ** 2) * k.level_factor
+    weighted = power * k.om_weight
+    band_power = group_into_bands(k, weighted).astype(bdtype)
+    unsmeared = spread(k, band_power + k.internal_noise)
+    energy = jnp.sum(jnp.stack([ref, test])[..., 1:, :, :] ** 2, axis=-1)
+    threshold_reached = energy >= C.EHS_ENERGY_THRESHOLD
+    s_ri = r_ri + t_ri
+    delta_power = (d_ri[..., :hi] * s_ri[..., :hi]
+                   + d_ri[..., bins:bins + hi] * s_ri[..., bins:bins + hi]
+                   ) * k.level_factor
+    delta_weighted = delta_power * k.om_weight[:hi]
+    return power, weighted, unsmeared, threshold_reached, delta_weighted
 
 
 def time_smear(k: FFTEarConsts, unsmeared: jnp.ndarray, axis: int = 0,

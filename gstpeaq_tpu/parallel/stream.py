@@ -87,11 +87,8 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
             ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE,
             C.FFT_STEPSIZE)  # [Fc]
 
-        both = jnp.stack([ref_blocks, test_blocks])
-        power, weighted, unsmeared, thresh, spec_ri = FE.stateless_hop(
-            k, both, return_spec=True)
-        delta_w = FE.noise_delta_weighted(
-            k, ref_blocks - test_blocks, spec_ri[0] + spec_ri[1])
+        power, weighted, unsmeared, thresh, delta_w = FE.stateless_pair_hop(
+            k, ref_blocks, test_blocks)
         exc, smear_new = FE.time_smear(
             k, jnp.moveaxis(unsmeared, 1, 0), axis=0,
             state=state["smear"], return_state=True)
@@ -121,8 +118,10 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
             k.internal_noise, 1.5, 0.15, 0.5, 0.0, mod_ref, mod_test,
             adapted_ref, adapted_test)
         bw_ref, bw_test, bw_valid = MOVS.bandwidth(power[0], power[1])
+        hi = k.group_bin_hi
         nmr_mean, disturbed = MOVS.nmr(
-            k.group_matrix, k.masking_difference, weighted[0], weighted[1],
+            k.group_matrix[:hi], k.masking_difference,
+            weighted[0][..., :hi], weighted[1][..., :hi],
             ref_e, delta_weighted=delta_w)
         p_bin, steps_bin = MOVS.prob_detect(
             ref_e, test_e, settings.use_floor_for_steps_above_threshold)
@@ -359,18 +358,16 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
         test_blocks = framing.blocks_hop(test_sig, n_frames)
         above = framing.above_threshold_signal(
             ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
-        both = jnp.stack([ref_blocks, test_blocks])
-        power, weighted, unsmeared, thresh, spec_ri = FE.stateless_hop(
-            kf, both, return_spec=True)
-        delta_w = FE.noise_delta_weighted(
-            kf, ref_blocks - test_blocks, spec_ri[0] + spec_ri[1])
+        power, weighted, unsmeared, thresh, delta_w = FE.stateless_pair_hop(
+            kf, ref_blocks, test_blocks)
         exc, smear_new = FE.time_smear(
             kf, jnp.moveaxis(unsmeared, 1, 0), axis=0,
             state=state["smear"], return_state=True)
         exc = jnp.moveaxis(exc, 0, 1)
-        nmr_mean, _ = MOVS.nmr(kf.group_matrix, kf.masking_difference,
-                               weighted[0], weighted[1], exc[0],
-                               delta_weighted=delta_w)
+        hi = kf.group_bin_hi
+        nmr_mean, _ = MOVS.nmr(kf.group_matrix[:hi], kf.masking_difference,
+                               weighted[0][..., :hi], weighted[1][..., :hi],
+                               exc[0], delta_weighted=delta_w)
         ehs_val, ehs_valid = MOVS.ehs(
             weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if kf.ehs_fwd is None else

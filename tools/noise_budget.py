@@ -216,17 +216,24 @@ def main():
     for name, make in INJECTIONS.items():
         mod, attr, _ = make(None)        # discover the patch target
         if attr == "stateless":
-            # the pipelines call the hop-block form; adapt the frames-based
-            # injection onto it (frame f = blocks[f] | blocks[f + 1])
+            # the pipelines call the pair/hop-block form; adapt the
+            # frames-based injection onto it (frame f = blocks[f] |
+            # blocks[f + 1]).  This tool runs in f64, where the direct
+            # weighted difference matches the pair form's cancellation-free
+            # delta to ~1e-15.
             frames_orig = getattr(mod, attr)
             _, _, frames_repl = make(frames_orig)
-            attr = "stateless_hop"
+            attr = "stateless_pair_hop"
             orig = getattr(mod, attr)
 
-            def repl(k, blocks, _fn=frames_repl):
+            def repl(k, ref_blocks, test_blocks, _fn=frames_repl):
+                blocks = jnp.stack([ref_blocks, test_blocks])
                 frames = jnp.concatenate(
                     [blocks[..., :-1, :, :], blocks[..., 1:, :, :]], axis=-1)
-                return _fn(k, frames)
+                power, weighted, unsmeared, thr = _fn(k, frames)
+                hi = k.group_bin_hi
+                delta_w = weighted[0][..., :hi] - weighted[1][..., :hi]
+                return power, weighted, unsmeared, thr, delta_w
         else:
             orig = getattr(mod, attr)
             _, _, repl = make(orig)      # rebuild closure over the original
