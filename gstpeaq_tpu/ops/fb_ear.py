@@ -221,7 +221,8 @@ def dc_reject(x: jnp.ndarray, state=None, return_state: bool = False):
     return y2
 
 
-def filter_bank(k: FBEarConsts, hp2: jnp.ndarray, history=None):
+def filter_bank(k: FBEarConsts, hp2: jnp.ndarray, history=None,
+                interleave: bool = True):
     """Strided complex FIR bank; src/fbearmodel.c:398-435.
 
     hp2: [..., T] DC-filtered signal (T divisible by 32).  Output evaluated
@@ -266,35 +267,39 @@ def filter_bank(k: FBEarConsts, hp2: jnp.ndarray, history=None):
         dimension_numbers=("NHC", "HIO", "NHC"),
         preferred_element_type=dtype,
         precision=k.conv_precision)          # [n, ti + 1, 320]
+    if not interleave:
+        # phase-split form [.., ti, 4, 80] for spread_phase: instant
+        # 4t + p lives at [t, p]; the lane-regroup copy to instant order
+        # is deferred to the (half-width) e0 output
+        return o[:, :ti].reshape(*lead, ti, 4, 80)
     out = o[:, :ti].reshape(n, 4 * ti, 80)
     out = out[:, :n_inst].reshape(*lead, n_inst, 80)
     return out[..., :40], out[..., 40:]
 
 
-def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
-           cu_state=None, return_state: bool = False):
-    """Level-dependent frequency spreading per subsampled instant;
-    src/fbearmodel.c:326-354.  fb_re/fb_im: [..., I, 40], instants axis -2.
-    Returns E0 = |A|^2: [..., I, 40] (+ final cu state when requested)."""
+def _slope_inputs(k: FBEarConsts, fb_re, fb_im):
+    """Slope-filter drive dist_s and smoothing coefficient (decay);
+    src/fbearmodel.c:326-339, settings.h:97.  Default (pseudo-code)
+    smoother cu' = cu + A (dist_s - cu); with
+    SWAP_SLOPE_FILTER_COEFFICIENTS, cu' = dist_s + A (cu - dist_s)."""
     level = 10.0 * jnp.log10(fb_re * fb_re + fb_im * fb_im)
     s = jnp.maximum(4.0, 24.0 + 230.0 / k.fc - 0.2 * level)
     dist_s = C.DIST ** s
-    # default (pseudo-code) smoother cu' = cu + A (dist_s - cu); with
-    # SWAP_SLOPE_FILTER_COEFFICIENTS, cu' = dist_s + A (cu - dist_s)
-    # (src/fbearmodel.c:335-339, settings.h:97)
     decay = C.SLOPE_FILTER_A if k.swap_slope else 1.0 - C.SLOPE_FILTER_A
-    drive = 1.0 - decay
-    # instants axis is long (1500/s): blocked recurrence over it (move the
-    # instants axis last, bands stay a leading axis)
-    cu = jnp.moveaxis(iir.linear_recurrence_blocked(
-        decay, jnp.moveaxis(drive * dist_s, -2, -1),
-        y0=cu_state), -1, -2)
-    # upper spreading U[i, j] = cu[i]^(j-i) for j > i (+ identity), applied
-    # in static destination-band blocks (unrolled; see fft_ear.spread for
-    # why neither lax.scan nor one big einsum is used).  A fused Pallas
-    # kernel was tried and LOST to this XLA path (58 vs 28 ms at 480k
-    # instants: the 40-band lane padding to 128 triples the VPU work) —
-    # see git history of ops/pallas_fb.py before re-attempting.
+    return dist_s, decay
+
+
+def _spread_core(k: FBEarConsts, fb_re, fb_im, cu):
+    """Upper + lower spreading given the smoothed slope state cu; bands on
+    the LAST axis, any leading layout.  Returns E0 = |A|^2.
+
+    Upper spreading U[i, j] = cu[i]^(j-i) for j > i (+ identity), applied
+    in static destination-band blocks (unrolled; see fft_ear.spread for
+    why neither lax.scan nor one big einsum is used).  A fused Pallas
+    kernel was tried and LOST to this XLA path (58 vs 28 ms at 480k
+    instants: the 40-band lane padding to 128 triples the VPU work) —
+    see git history of ops/pallas_fb.py before re-attempting.
+    """
     Z = k.band_count
     dtype = fb_re.dtype
     block = 8
@@ -320,9 +325,60 @@ def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
                       precision=hp)
     a_im = jnp.einsum("...j,...jc->...c", a_im, k.lower_matrix,
                       precision=hp)
-    e0 = a_re * a_re + a_im * a_im
+    return a_re * a_re + a_im * a_im
+
+
+def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
+           cu_state=None, return_state: bool = False):
+    """Level-dependent frequency spreading per subsampled instant;
+    src/fbearmodel.c:326-354.  fb_re/fb_im: [..., I, 40], instants axis -2.
+    Returns E0 = |A|^2: [..., I, 40] (+ final cu state when requested)."""
+    dist_s, decay = _slope_inputs(k, fb_re, fb_im)
+    # instants axis is long (1500/s): blocked recurrence over it (move the
+    # instants axis last, bands stay a leading axis)
+    cu = jnp.moveaxis(iir.linear_recurrence_blocked(
+        decay, jnp.moveaxis((1.0 - decay) * dist_s, -2, -1),
+        y0=cu_state), -1, -2)
+    e0 = _spread_core(k, fb_re, fb_im, cu)
     if return_state:
         return e0, cu[..., -1, :]
+    return e0
+
+
+def spread_phase(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
+                 n_inst: int, cu_state=None, return_state: bool = False):
+    """spread() on PHASE-SPLIT filter-bank output [..., ti, 4, 40]
+    (instant 4t + p at [t, p]; entries with 4t + p >= n_inst are conv
+    padding).  Keeping the phase layout through the spreading defers the
+    conv output's lane-regroup copy to the (half-width) E0 tensor.
+
+    Only the slope-filter recurrence is order-dependent; with constant
+    coefficient A it phase-decomposes exactly:
+      z[t, p] = A^4 z[t-1, p] + c[t, p],
+      c[t, p] = sum_{m=0..3} A^m b[t - (m > p), (p - m) mod 4]
+    with b the per-instant drive (the streaming init folds into b[0, 0]).
+    Returns E0 [..., ti, 4, 40] (+ cu state at instant n_inst - 1).
+    """
+    dist_s, decay = _slope_inputs(k, fb_re, fb_im)
+    b = (1.0 - decay) * dist_s                           # [.., ti, 4, Z]
+    if cu_state is not None:
+        b = b.at[..., 0, 0, :].add(decay * cu_state)
+    bm1 = jnp.concatenate(
+        [jnp.zeros_like(b[..., :1, :, :]), b[..., :-1, :, :]], axis=-3)
+    cs = []
+    for p in range(4):
+        acc = b[..., :, p, :]
+        for m in range(1, 4):
+            src = b if m <= p else bm1
+            acc = acc + (decay ** m) * src[..., :, (p - m) % 4, :]
+        cs.append(acc)
+    c = jnp.stack(cs, axis=-2)                           # [.., ti, 4, Z]
+    cu = jnp.moveaxis(iir.linear_recurrence_blocked(
+        decay ** 4, jnp.moveaxis(c, -3, -1)), -1, -3)
+    e0 = _spread_core(k, fb_re, fb_im, cu)
+    if return_state:
+        t_last, p_last = (n_inst - 1) // 4, (n_inst - 1) % 4
+        return e0, cu[..., t_last, p_last, :]
     return e0
 
 
@@ -388,9 +444,13 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
     bdtype = k.internal_noise.dtype
     hp2, dc_new = dc_reject(
         signal.astype(k.level_factor.dtype) * k.level_factor, dc_state, True)
-    fb_re, fb_im = filter_bank(k, hp2, history=hp2_hist)
-    e0, cu_new = spread(k, fb_re.astype(bdtype), fb_im.astype(bdtype),
-                        cu_state, True)
+    n_inst = hp2.shape[-1] // C.FB_SUBSAMPLING
+    fb4 = filter_bank(k, hp2, history=hp2_hist, interleave=False)
+    e04, cu_new = spread_phase(
+        k, fb4[..., :40].astype(bdtype), fb4[..., 40:].astype(bdtype),
+        n_inst, cu_state, True)                 # [.., ti, 4, 40]
+    # single (half-width) lane-regroup copy to instant order
+    e0 = e04.reshape(*e04.shape[:-3], -1, e04.shape[-1])[..., :n_inst, :]
     exc, uns, mask_new = back_and_forward_masking(
         k, e0, n_frames, mask_state, True)
     if return_state:
