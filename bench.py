@@ -47,6 +47,11 @@ def make_pairs(batch: int, seconds: float, channels: int = 2,
 
 def bench(advanced: bool, batch: int, seconds: float, dtype: str,
           iters: int = 5, microbatch: int = 32) -> float:
+    """Steady-state throughput: `iters` batches are dispatched back to back
+    and materialized only at the end, as a production sweep would run (the
+    per-execute host round trip on this tunneled backend is ~33 ms; syncing
+    between batches serializes it with device compute and understates the
+    sustained rate by up to ~45%)."""
     import jax
     from gstpeaq_tpu import constants as C
     from gstpeaq_tpu.parallel import batch as B
@@ -61,17 +66,16 @@ def bench(advanced: bool, batch: int, seconds: float, dtype: str,
     else:
         fn = B._jitted_basic_batch(92.0, C.DEFAULT_SETTINGS, dtype)
     np.asarray(fn(*chunks[0]).odg)  # compile + warm up
-    times = []
+    t0 = time.perf_counter()
+    outs = []
     for _ in range(iters):
-        t0 = time.perf_counter()
-        outs = [fn(*ch) for ch in chunks]
-        # host-materialize every chunk's result: block_until_ready() does
-        # not reliably synchronize on this backend (see CLAUDE.md)
-        for o in outs:
-            np.asarray(o.odg)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    return batch * seconds / best
+        outs.extend(fn(*ch) for ch in chunks)
+    # host-materialize at the end: block_until_ready() does not reliably
+    # synchronize on this backend (see CLAUDE.md)
+    for o in outs:
+        np.asarray(o.odg)
+    dt = time.perf_counter() - t0
+    return iters * batch * seconds / dt
 
 
 def main() -> None:
@@ -91,7 +95,10 @@ def main() -> None:
     if not on_tpu:  # keep CI/CPU runs quick
         batch, seconds = 8, 2.0
 
-    basic_rate = bench(False, batch, seconds, dtype)
+    # basic: one 64-pair chunk per batch (device compute ~60 ms hides the
+    # ~33 ms dispatch floor; smaller chunks leave the device host-bound)
+    basic_rate = bench(False, batch, seconds, dtype, iters=10,
+                       microbatch=64)
     print(f"# device={dev.device_kind} dtype={dtype} batch={batch} "
           f"len={seconds}s", file=sys.stderr)
     print(f"# basic: {basic_rate:.0f} audio-sec/s "
@@ -113,10 +120,10 @@ def main() -> None:
         # under device compute (mb8 busy time dropped below that floor)
         (f"audio-seconds/sec/chip (advanced PEAQ, batch {batch})",
          dict(advanced=True, batch=batch, seconds=seconds, dtype=dtype,
-              iters=3, microbatch=16)),
+              iters=4, microbatch=16)),
         (f"audio-seconds/sec/chip (basic PEAQ, accurate tier, batch {batch})",
          dict(advanced=False, batch=batch, seconds=seconds,
-              dtype="mixed" if on_tpu else "float64", iters=3,
+              dtype="mixed" if on_tpu else "float64", iters=2,
               microbatch=8)),
     ]:
         try:

@@ -4,14 +4,18 @@ The reference walks sample by sample through a ring buffer with a per-band
 FIR evaluation every 32nd sample (src/fbearmodel.c:275-435) — the hottest
 loop in its advanced path.  Here:
 
-* the DC-rejection biquad cascade becomes two log-depth associative scans on
-  the 2x2 companion form (no per-sample loop);
-* the 40-band complex FIR bank becomes one strided convolution
-  (stride 32, kernel 1456, 80 output channels) — an implicit GEMM that XLA
-  maps onto the MXU without materializing sliding windows;
+* the DC-rejection biquad cascade becomes pole-cascaded blocked
+  Toeplitz-GEMM recurrences (no per-sample loop, no ill-conditioned
+  partial fractions);
+* the 40-band complex FIR bank becomes ONE phase-concatenated stride-1
+  convolution over 128-sample blocks ([13, 128, 320] kernel) — an implicit
+  GEMM that XLA maps onto full MXU tiles without materializing sliding
+  windows, whose phase-split output feeds the spreading directly;
 * the level-dependent frequency spreading becomes a per-instant [40, 40]
-  matrix contraction, with the slope-filter state as an associative scan;
-* backward masking is a static gather + FIR; forward masking a scan.
+  matrix contraction, with the slope-filter state as a phase-decomposed
+  blocked recurrence;
+* backward masking reduces to two per-frame [6]-contractions; forward
+  masking is a banded Toeplitz-GEMM recurrence.
 
 The reference's ring-buffer aliasing quirk (the lag-1456 tap reads the newest
 sample, see earparams/numpy_ref) is preserved by folding that coefficient
