@@ -306,14 +306,15 @@ def _spread_core(k: FBEarConsts, fb_re, fb_im, cu):
     """
     Z = k.band_count
     dtype = fb_re.dtype
-    block = 8
+    # block = full band count: each of re/im is ONE fused mul+exp+reduce
+    # reading fb and log_cu once (destination-blocked variants re-read them
+    # per block; block 8 measured ~10% slower end to end).  NOTE: keep
+    # re/im as SEPARATE sums — stacking them on a leading axis (to share
+    # the exp weights) was tried and broke XLA's fusion: the [.., I, Z, Z]
+    # weight tensor materialized and the stage went 4.5x slower.
+    block = Z
     i_idx = jnp.arange(Z, dtype=dtype)
     log_cu = jnp.log(cu)[..., None]  # [..., Z, 1]
-    # NOTE: keep re/im as SEPARATE block sums — stacking them on a leading
-    # axis (to share the exp weights) was tried and broke XLA's fusion: the
-    # [.., I, Z, block] weight tensor materialized and the stage went 4.5x
-    # slower.  In this form each block is one HBM-bound fused
-    # mul+exp+reduce over fb and log_cu.
     ups_re, ups_im = [], []
     for jb in range(0, Z, block):
         j = jnp.arange(jb, min(jb + block, Z), dtype=dtype)
