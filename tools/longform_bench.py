@@ -41,14 +41,30 @@ def main() -> int:
 
     t0 = time.time()
     done = 0
+    f0 = 331.0
     while done < total:
         n = min(feed, total - done)
-        phase = 2 * np.pi * 220.0 * (t[:n] + done / 48000.0)
-        sig = (0.4 * np.sin(phase) + 0.2 * np.sin(3.01 * phase)
-               + 0.01 * rng.standard_normal(n)).astype(np.float32)
-        ref = np.stack([sig, sig], 1)
-        test = ref * 0.97 + 0.005 * rng.standard_normal(
-            (n, 2)).astype(np.float32)
+        tt = t[:n] + done / 48000.0
+        # harmonic-rich program with energy to ~15 kHz: the BandwidthRef
+        # MOV only accumulates frames whose reference bandwidth exceeds
+        # bin 346 (~8.1 kHz, src/movs.c:775-809); a band-limited tone over
+        # a white noise floor never qualifies, the accumulator stays
+        # empty, and — faithfully to the reference's 0/0 — the ODG is NaN
+        ref1 = np.zeros(n)
+        test1 = np.zeros(n)
+        k = 1
+        while k * f0 < 15000.0:
+            tone = np.sin(2 * np.pi * k * f0 * tt + 0.3 * k) / k
+            ref1 += tone
+            if k * f0 < 10000.0:   # codec-like lowpass on the test signal
+                test1 += tone
+            k += 1
+        am = 1.0 + 0.3 * np.sin(2 * np.pi * 4.0 * tt)
+        ref1 = (0.5 * ref1 * am).astype(np.float32)
+        test1 = (0.485 * test1 * am
+                 + 1e-4 * rng.standard_normal(n)).astype(np.float32)
+        ref = np.stack([ref1, ref1], 1)
+        test = np.stack([test1, test1], 1)
         stream.feed(ref, test)
         done += n
         if done % (feed * 30) == 0:
