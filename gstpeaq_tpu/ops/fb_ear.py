@@ -158,22 +158,32 @@ def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray, state=None,
     first-order recurrences (partial fractions): y = 2 Re(g * u),
     u_t = lambda * u_{t-1} + v_t.  Complex magnitudes multiply cleanly, so
     the associative scan stays accurate to ~eps * log T.
+
+    `state` is a REAL [..., 2] pair (complex exists only inside the jitted
+    computation): the streaming state crosses the jit boundary, and the
+    tunneled TPU backend cannot transfer complex arrays (the advanced
+    streaming path died with UNIMPLEMENTED on the first complex state
+    output).  Complex branch: state = (Re u_last, Im u_last); real-pole
+    branch: state = (w_last, y_last) of the cascade.
     """
     dtype = v.dtype
     cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
     disc2 = a1 * a1 + 4.0 * a2
-    s_p, s_m = state if state is not None else (None, None)
     if disc2 < 0:
         # complex-conjugate pair: u_m = conj(u_p) for real input, so one
         # complex scan suffices: y = 2 Re(g_p * u_p)
         disc = complex(0.0, np.sqrt(-disc2))
         lam_p = (a1 + disc) / 2.0
         g_p = complex(lam_p / (lam_p - np.conj(lam_p)))
-        u_p = iir.linear_recurrence_blocked(
-            lam_p, v.astype(cdtype), y0=s_p)
+        y0 = None
+        if state is not None:
+            y0 = (state[..., 0] + 1j * state[..., 1]).astype(cdtype)
+        u_p = iir.linear_recurrence_blocked(lam_p, v.astype(cdtype), y0=y0)
         y = 2.0 * jnp.real(jnp.asarray(g_p, cdtype) * u_p).astype(dtype)
         if return_state:
-            return y, (u_p[..., -1], jnp.conj(u_p[..., -1]))
+            u_last = u_p[..., -1]
+            return y, jnp.stack([jnp.real(u_last).astype(dtype),
+                                 jnp.imag(u_last).astype(dtype)], axis=-1)
         return y
     # Real distinct poles: CASCADE of two real scans, w = rec(lam_p, v),
     # y = rec(lam_m, w).  The partial-fraction form y = g_p u_p + g_m u_m
@@ -187,13 +197,12 @@ def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray, state=None,
     disc = float(np.sqrt(disc2))
     lam_p = (a1 + disc) / 2.0
     lam_m = (a1 - disc) / 2.0
-    s_p = jnp.real(s_p).astype(dtype) if s_p is not None else None
-    s_m = jnp.real(s_m).astype(dtype) if s_m is not None else None
+    s_p = state[..., 0] if state is not None else None
+    s_m = state[..., 1] if state is not None else None
     w = iir.linear_recurrence_blocked(lam_p, v, y0=s_p)
     y = iir.linear_recurrence_blocked(lam_m, w, y0=s_m)
     if return_state:
-        # state = (w_last, y_last), stored complex for a stable pytree
-        return y, (w[..., -1].astype(cdtype), y[..., -1].astype(cdtype))
+        return y, jnp.stack([w[..., -1], y[..., -1]], axis=-1)
     return y
 
 
@@ -201,8 +210,10 @@ def dc_reject(x: jnp.ndarray, state=None, return_state: bool = False):
     """DC-rejection cascade; src/fbearmodel.c:291-303.  x: [..., T].
 
     `state` (streaming) = (x_tail, u1, y1_tail, u2) with x_tail/y1_tail the
-    previous two inputs of each stage's feedforward and u1/u2 the complex
-    recurrence carries of each stage.
+    previous two inputs of each stage's feedforward and u1/u2 each stage's
+    REAL [..., 2] recurrence carry (see _biquad_feedback — the state
+    crosses the jit boundary, which must stay complex-free on this
+    backend).
     """
     def ff(u, tail):
         if tail is None:

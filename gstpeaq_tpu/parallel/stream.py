@@ -294,13 +294,13 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
                 for name in C.MOV_ADVANCED_NAMES}
         sums["RmsNoiseLoudAsymA"]["all2"] = f(channels)
         sums["RmsNoiseLoudAsymA"]["committed2"] = f(channels)
-        cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
-        c = lambda *s: jnp.zeros(s, cdtype)
-
         def fb_model_state():
-            # (dc_state, hp2_history, cu, masking_state) per fb_ear layout
-            dc = (f(channels, 2), (c(channels), c(channels)),
-                  f(channels, 2), (c(channels), c(channels)))
+            # (dc_state, hp2_history, cu, masking_state) per fb_ear layout;
+            # the biquad carries are REAL [CH, 2] pairs (complex never
+            # crosses the jit boundary — the tunneled TPU backend cannot
+            # transfer complex arrays)
+            dc = (f(channels, 2), f(channels, 2),
+                  f(channels, 2), f(channels, 2))
             return (dc, f(channels, C.FB_BUFFER_LENGTH - 1),
                     f(channels, C.FB_BAND_COUNT),
                     (f(channels, 10, C.FB_BAND_COUNT),

@@ -61,6 +61,20 @@ def test_stream_advanced_equals_whole_signal():
         assert abs(g - w) <= 1e-7 * (1 + abs(w)), (name, g, w)
 
 
+def test_stream_state_is_complex_free():
+    """No stream-state leaf may be complex: the state crosses the jit
+    boundary every chunk, and the tunneled TPU backend cannot transfer
+    complex arrays (the advanced stream died with UNIMPLEMENTED when the
+    DC-filter carries were complex64)."""
+    import jax
+    n = 16 * 1024
+    for cls in (PeaqStream, PeaqStreamAdvanced):
+        s = cls(channels=1, chunk_frames=8)
+        s.feed(TS.saw(n), TS.triangle(n))
+        for leaf in jax.tree.leaves(s.state):
+            assert not np.iscomplexobj(np.asarray(leaf)), cls.__name__
+
+
 def test_stream_state_checkpoint_roundtrip(tmp_path):
     """The stream state is a savable pytree: checkpoint/resume gives
     identical results."""
