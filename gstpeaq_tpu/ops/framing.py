@@ -74,11 +74,13 @@ def above_threshold_signal(sig: jnp.ndarray, n_frames: int, frame_size: int,
                            step_size: int) -> jnp.ndarray:
     """Data-boundary test evaluated on the signal (src/gstpeaq.c:1080-1099).
 
-    Equivalent to above_threshold() on extracted frames but avoids the 2x
-    overlap duplication and the log-depth cumsum: one 5-term shifted sum over
-    |sig|, then per-hop-block reductions.  A frame is above threshold when
-    any 5-sample window [i-4..i] with i >= 5 (frame-local) in any channel
-    sums to >= 200/32768.
+    Equivalent to testing each extracted frame but avoids the 2x overlap
+    duplication: one 5-term shifted sum over |sig|, then per-hop-block
+    reductions.  A frame is above threshold when any 5-sample window
+    [i-4..i] with i >= 5 (frame-local) in any channel sums to >=
+    200/32768.  (The reference accumulates the running sum serially; the
+    exact sliding sums here give identical decisions except for
+    sub-1e-4-relative borderline cases.)
 
     sig: [T, C] with T = (n_frames - 1) * step_size + frame_size and
     frame_size in {step_size, 2 * step_size}.  Returns bool [n_frames].
@@ -95,22 +97,3 @@ def above_threshold_signal(sig: jnp.ndarray, n_frames: int, frame_size: int,
         return tail_any[:n_frames]
     full_any = jnp.any(blocks, axis=1)
     return tail_any[:n_frames] | full_any[1:n_frames + 1]
-
-
-def above_threshold(frames: jnp.ndarray) -> jnp.ndarray:
-    """Data-boundary test; src/gstpeaq.c:1080-1099.
-
-    frames: [F, C, frame_size] (reference-signal frames).  A frame is above
-    threshold when any 5-sample window [i-4..i] for i >= 5 in any channel has
-    sum |x| >= 200/32768.  (The reference accumulates the running sum in
-    float32; we evaluate exact sliding sums in the working dtype — identical
-    decisions except for sub-1e-4-relative borderline cases.)
-
-    Returns bool [F].
-    """
-    ax = jnp.abs(frames)
-    cs = jnp.cumsum(ax, axis=-1)
-    # window sum ending at i (i >= 4): cs[i] - cs[i-5]
-    wsum = cs[..., 5:] - cs[..., :-5]
-    hit = jnp.any(wsum >= C.FRAME_THRESHOLD, axis=(-1, -2))
-    return hit
