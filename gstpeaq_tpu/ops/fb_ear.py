@@ -317,13 +317,15 @@ def _spread_core(k: FBEarConsts, fb_re, fb_im, cu):
     """
     Z = k.band_count
     dtype = fb_re.dtype
-    # block = full band count: each of re/im is ONE fused mul+exp+reduce
-    # reading fb and log_cu once (destination-blocked variants re-read them
-    # per block; block 8 measured ~10% slower end to end).  NOTE: keep
+    # f32: block = full band count — each of re/im is ONE fused
+    # mul+exp+reduce reading fb and log_cu once (destination-blocked
+    # variants re-read them per block; block 8 measured ~10% slower end to
+    # end).  Wider dtypes keep small blocks: with emulated f64 XLA
+    # MATERIALIZES the [.., I, Z, block] weight tensor instead of fusing,
+    # and block = Z OOMed the mixed-tier advanced pipeline.  NOTE: keep
     # re/im as SEPARATE sums — stacking them on a leading axis (to share
-    # the exp weights) was tried and broke XLA's fusion: the [.., I, Z, Z]
-    # weight tensor materialized and the stage went 4.5x slower.
-    block = Z
+    # the exp weights) broke the f32 fusion the same way (4.5x slower).
+    block = Z if dtype == jnp.float32 else 8
     i_idx = jnp.arange(Z, dtype=dtype)
     log_cu = jnp.log(cu)[..., None]  # [..., Z, 1]
     ups_re, ups_im = [], []
