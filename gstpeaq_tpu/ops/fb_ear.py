@@ -283,9 +283,8 @@ def filter_bank(k: FBEarConsts, hp2: jnp.ndarray, history=None,
         preferred_element_type=dtype,
         precision=k.conv_precision)          # [n, ti + 1, 320]
     if not interleave:
-        # phase-split form [.., ti, 4, 80] for spread_phase: instant
-        # 4t + p lives at [t, p]; the lane-regroup copy to instant order
-        # is deferred to the (half-width) e0 output
+        # phase-split form [.., ti, 4, 80] (instant 4t + p at [t, p]) for
+        # process_signal's transposed band-major regroup
         return o[:, :ti].reshape(*lead, ti, 4, 80)
     out = o[:, :ti].reshape(n, 4 * ti, 80)
     out = out[:, :n_inst].reshape(*lead, n_inst, 80)
@@ -363,89 +362,93 @@ def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
     return e0
 
 
-def spread_phase(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
-                 n_inst: int, cu_state=None, return_state: bool = False):
-    """spread() on PHASE-SPLIT filter-bank output [..., ti, 4, 40]
-    (instant 4t + p at [t, p]; entries with 4t + p >= n_inst are conv
-    padding).  Keeping the phase layout through the spreading defers the
-    conv output's lane-regroup copy to the (half-width) E0 tensor.
+def spread_t(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
+             cu_state=None, return_state: bool = False):
+    """spread() on the TRANSPOSED layout [..., Z, I] (bands on sublanes,
+    instants on lanes) — the pipeline's native FB band-domain layout.
 
-    Only the slope-filter recurrence is order-dependent; with constant
-    coefficient A it phase-decomposes exactly:
-      z[t, p] = A^4 z[t-1, p] + c[t, p],
-      c[t, p] = sum_{m=0..3} A^m b[t - (m > p), (p - m) mod 4]
-    with b the per-instant drive (the streaming init folds into b[0, 0]).
-    Returns E0 [..., ti, 4, 40] (+ cu state at instant n_inst - 1).
+    The 40-band minor dimension of the interleaved layout pads to 128
+    lanes, tripling the VPU work of the exp-heavy upper-spreading fusion
+    (this stage is VPU-bound); with instants on lanes there is no padding.
+    The slope-filter recurrence also becomes natively instants-last (no
+    moveaxis, no phase decomposition), and the banded forward-masking
+    recurrence downstream wants exactly this [Z, T] layout.
+    Returns E0 [..., Z, I] (+ cu state [..., Z] at the last instant).
     """
-    dist_s, decay = _slope_inputs(k, fb_re, fb_im)
-    b = (1.0 - decay) * dist_s                           # [.., ti, 4, Z]
-    if cu_state is not None:
-        b = b.at[..., 0, 0, :].add(decay * cu_state)
-    bm1 = jnp.concatenate(
-        [jnp.zeros_like(b[..., :1, :, :]), b[..., :-1, :, :]], axis=-3)
-    cs = []
-    for p in range(4):
-        acc = b[..., :, p, :]
-        for m in range(1, 4):
-            src = b if m <= p else bm1
-            acc = acc + (decay ** m) * src[..., :, (p - m) % 4, :]
-        cs.append(acc)
-    c = jnp.stack(cs, axis=-2)                           # [.., ti, 4, Z]
-    cu = jnp.moveaxis(iir.linear_recurrence_blocked(
-        decay ** 4, jnp.moveaxis(c, -3, -1)), -1, -3)
-    e0 = _spread_core(k, fb_re, fb_im, cu)
+    level = 10.0 * jnp.log10(fb_re * fb_re + fb_im * fb_im)
+    s = jnp.maximum(4.0, 24.0 + 230.0 / k.fc[:, None] - 0.2 * level)
+    dist_s = C.DIST ** s
+    decay = C.SLOPE_FILTER_A if k.swap_slope else 1.0 - C.SLOPE_FILTER_A
+    cu = iir.linear_recurrence_blocked(
+        decay, (1.0 - decay) * dist_s, y0=cu_state)      # [.., Z, I]
+    Z = k.band_count
+    dtype = fb_re.dtype
+    # see _spread_core for the block-size and separate-re/im rationale
+    block = Z if dtype == jnp.float32 else 8
+    i_idx = np.arange(Z)
+    log_cu = jnp.log(cu)[..., :, None, :]                # [.., Z, 1, I]
+    ups_re, ups_im = [], []
+    for jb in range(0, Z, block):
+        j = np.arange(jb, min(jb + block, Z))
+        expo = jnp.asarray((j[None, :] - i_idx[:, None])[..., None],
+                           dtype)                        # [Z, blk, 1]
+        w = jnp.where(expo > 0, jnp.exp(expo * log_cu), 0.0)
+        ups_re.append(jnp.sum(fb_re[..., :, None, :] * w, axis=-3))
+        ups_im.append(jnp.sum(fb_im[..., :, None, :] * w, axis=-3))
+    a_re = fb_re + jnp.concatenate(ups_re, axis=-2)
+    a_im = fb_im + jnp.concatenate(ups_im, axis=-2)
+    # constant lower spreading contracts the (sublane) band axis
+    hp = jax.lax.Precision.HIGHEST
+    a_re = jnp.einsum("...jt,jc->...ct", a_re, k.lower_matrix,
+                      precision=hp)
+    a_im = jnp.einsum("...jt,jc->...ct", a_im, k.lower_matrix,
+                      precision=hp)
+    e0 = a_re * a_re + a_im * a_im
     if return_state:
-        t_last, p_last = (n_inst - 1) // 4, (n_inst - 1) % 4
-        return e0, cu[..., t_last, p_last, :]
+        return e0, cu[..., -1]
     return e0
 
 
-def back_and_forward_masking(k: FBEarConsts, e0: jnp.ndarray, n_frames: int,
-                             state=None, return_state: bool = False):
-    """Backward-masking FIR at frame boundaries + internal noise + forward
-    masking IIR; src/fbearmodel.c:362-395.
-
-    e0: [..., I, 40] with I = 6 * n_frames (instants axis second-to-last,
-    frame axis must end up leading for the scan).
-    `state` (streaming) = (e0_tail [..., 10, 40], excitation [..., 40]).
-    Returns (excitation, unsmeared): [..., F, 40].
-    """
+def back_and_forward_masking_t(k: FBEarConsts, e0: jnp.ndarray,
+                               n_frames: int, state=None,
+                               return_state: bool = False):
+    """back_and_forward_masking() on the TRANSPOSED layout [..., Z, I]
+    (see spread_t): the [6]-contractions reduce the lane minor, the
+    one-frame shift is a lane slice, and the banded forward-masking
+    recurrence consumes its native [Z, F] layout with no moveaxis.
+    `state` = (e0_tail [..., Z, 10], excitation [..., Z]).
+    Returns (excitation, unsmeared): [..., Z, F]."""
     if state is None:
         e0_tail, exc0 = None, None
     else:
         e0_tail, exc0 = state
     ipf = C.FB_FRAMESIZE // C.FB_SUBSAMPLING  # 6
-    # blocked FIR: the 11 taps of frame f touch only instants of frames f
-    # and f-1 (see _back_mask_blocks), so E1 is two [6]-contractions over
-    # the frame-grouped instants (a free reshape) and a one-frame shift —
-    # no strided slices, no padded copy of the full instants axis (the
-    # former padded 3-block form was ~9% of the advanced device time)
-    e0f = e0.reshape(*e0.shape[:-2], n_frames, ipf, e0.shape[-1])
+    e0f = e0.reshape(*e0.shape[:-1], n_frames, ipf)
     wa, wb = k.back_mask_w[0], k.back_mask_w[1]
-    sb = jnp.sum(e0f * wb[:, None], axis=-2)            # [..., F, Z]
-    sa = jnp.sum(e0f * wa[:, None], axis=-2)
+    # two per-tap reduces over the lane minor (a single fused dual-tap
+    # reduce over a front-padded copy was tried: the lane concatenate and
+    # overlapping frame slices cost more than the second reduce)
+    sb = jnp.sum(e0f * wb, axis=-1)                     # [..., Z, F]
+    sa = jnp.sum(e0f * wa, axis=-1)
     if e0_tail is None:
-        prev = jnp.zeros_like(sa[..., :1, :])
+        prev = jnp.zeros_like(sa[..., :1])
     else:  # previous chunk's last frame, instants 1..5 (wa[0] = 0)
-        prev = jnp.sum(e0_tail[..., -5:, :] * wa[1:, None],
-                       axis=-2, keepdims=True)
-    e1 = sb + jnp.concatenate([prev, sa[..., :-1, :]], axis=-2)
-    unsmeared = e1 + k.internal_noise
-    # forward masking: per-band recurrence over the frame axis.  The banded
-    # Toeplitz-GEMM form beats associative_scan here: the scan's ~2*log2(F)
-    # stride-2 slice/pad levels were the single largest line of the advanced
-    # device profile (iir.py:33, ~18% of busy time at microbatch 8).
-    excitation = iir.smoothing_filter_banded(k.ear_a, unsmeared, axis=-2,
-                                             y0=exc0)
+        prev = jnp.sum(e0_tail[..., -5:] * wa[1:], axis=-1, keepdims=True)
+    e1 = sb + jnp.concatenate([prev, sa[..., :-1]], axis=-1)
+    unsmeared = e1 + k.internal_noise[:, None]
+    # forward masking: banded Toeplitz-GEMM recurrence (the associative
+    # scan's stride-2 slice/pad levels were ~18% of the advanced profile);
+    # the (1 - a) drive broadcasts against the band SUBLANE axis here
+    excitation = iir.linear_recurrence_banded(
+        k.ear_a, (1.0 - k.ear_a)[:, None] * unsmeared, axis=-1, y0=exc0)
     if return_state:
-        if e0.shape[-2] >= 10:
-            tail_new = e0[..., -10:, :]
+        if e0.shape[-1] >= 10:
+            tail_new = e0[..., -10:]
         else:
             base = (e0_tail if e0_tail is not None
-                    else jnp.zeros((*e0.shape[:-2], 10, e0.shape[-1]),
-                                   e0.dtype))
-            tail_new = jnp.concatenate([base, e0], axis=-2)[..., -10:, :]
-        return excitation, unsmeared, (tail_new, excitation[..., -1, :])
+                    else jnp.zeros((*e0.shape[:-1], 10), e0.dtype))
+            tail_new = jnp.concatenate([base, e0], axis=-1)[..., -10:]
+        return excitation, unsmeared, (tail_new, excitation[..., -1])
     return excitation, unsmeared
 
 
@@ -464,13 +467,18 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
         signal.astype(k.level_factor.dtype) * k.level_factor, dc_state, True)
     n_inst = hp2.shape[-1] // C.FB_SUBSAMPLING
     fb4 = filter_bank(k, hp2, history=hp2_hist, interleave=False)
-    e04, cu_new = spread_phase(
-        k, fb4[..., :40].astype(bdtype), fb4[..., 40:].astype(bdtype),
-        n_inst, cu_state, True)                 # [.., ti, 4, 40]
-    # single (half-width) lane-regroup copy to instant order
-    e0 = e04.reshape(*e04.shape[:-3], -1, e04.shape[-1])[..., :n_inst, :]
-    exc, uns, mask_new = back_and_forward_masking(
+    # one lane-regroup copy into the transposed band-major layout
+    # [.., 80, I] (instant 4t + p on lanes); the whole band-domain chain
+    # then runs bands-on-sublanes with no 40->128 lane padding
+    fbt = jnp.moveaxis(fb4, -1, -3).reshape(
+        *fb4.shape[:-3], 80, -1)[..., :n_inst]
+    e0, cu_new = spread_t(
+        k, fbt[..., :40, :].astype(bdtype), fbt[..., 40:, :].astype(bdtype),
+        cu_state, True)                          # [.., 40, I]
+    exc_t, uns_t, mask_new = back_and_forward_masking_t(
         k, e0, n_frames, mask_state, True)
+    exc = jnp.moveaxis(exc_t, -1, -2)            # [.., F, 40]
+    uns = jnp.moveaxis(uns_t, -1, -2)
     if return_state:
         hist = (jnp.concatenate([hp2_hist, hp2], -1)[..., -1455:]
                 if hp2_hist is not None else

@@ -303,7 +303,7 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
                   f(channels, 2), f(channels, 2))
             return (dc, f(channels, C.FB_BUFFER_LENGTH - 1),
                     f(channels, C.FB_BAND_COUNT),
-                    (f(channels, 10, C.FB_BAND_COUNT),
+                    (f(channels, C.FB_BAND_COUNT, 10),   # e0 tail, [Z, I]
                      f(channels, C.FB_BAND_COUNT)))
 
         return {

@@ -59,30 +59,23 @@ def test_fb_ear_matches_spec():
     assert rel_err(uns, uns_np) < 1e-7
 
 
-def test_fb_spread_phase_matches_spread():
-    """spread_phase (phase-split layout + phase-decomposed slope-filter
-    recurrence) must equal spread exactly, including streaming state and
-    partial-phase tails (n_inst not divisible by 4)."""
+def test_fb_spread_t_matches_spread():
+    """spread_t (transposed [Z, I] layout, instants-last slope-filter
+    recurrence) must equal spread to near machine precision, including
+    streaming state."""
     p = EP.fb_ear_params()
     k = FB.build_consts(p)
     rng = np.random.default_rng(7)
-    ti = 31
-    for n_inst, state in ((4 * ti, None),
-                          (4 * ti, jnp.asarray(np.abs(
-                              rng.standard_normal(40)))),
-                          (4 * ti - 3, None)):
-        re = rng.standard_normal((4 * ti, 40)) * 1e3
-        im = rng.standard_normal((4 * ti, 40)) * 1e3
-        re[n_inst:] = 0.1  # conv-padding positions must not matter
-        im[n_inst:] = 0.1
-        e0_ref, cu_ref = FB.spread(k, jnp.asarray(re[:n_inst]),
-                                   jnp.asarray(im[:n_inst]), state, True)
-        e0_p, cu_p = FB.spread_phase(
-            k, jnp.asarray(re.reshape(ti, 4, 40)),
-            jnp.asarray(im.reshape(ti, 4, 40)), n_inst, state, True)
-        e0_p = np.asarray(e0_p).reshape(4 * ti, 40)[:n_inst]
-        assert rel_err(e0_p, e0_ref) < 1e-13
-        assert rel_err(cu_p, cu_ref) < 1e-13
+    n_inst = 124
+    for state in (None, jnp.asarray(np.abs(rng.standard_normal(40)))):
+        re = rng.standard_normal((n_inst, 40)) * 1e3
+        im = rng.standard_normal((n_inst, 40)) * 1e3
+        e0_ref, cu_ref = FB.spread(k, jnp.asarray(re), jnp.asarray(im),
+                                   state, True)
+        e0_t, cu_t = FB.spread_t(k, jnp.asarray(re.T), jnp.asarray(im.T),
+                                 state, True)
+        assert rel_err(np.asarray(e0_t).T, e0_ref) < 1e-13
+        assert rel_err(cu_t, cu_ref) < 1e-13
 
 
 def test_fb_ear_mixed_precision_runs():
