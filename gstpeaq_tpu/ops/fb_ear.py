@@ -11,11 +11,12 @@ loop in its advanced path.  Here:
   convolution over 128-sample blocks ([13, 128, 320] kernel) — an implicit
   GEMM that XLA maps onto full MXU tiles without materializing sliding
   windows, whose phase-split output feeds the spreading directly;
-* the level-dependent frequency spreading becomes a per-instant [40, 40]
-  matrix contraction, with the slope-filter state as a phase-decomposed
-  blocked recurrence;
-* backward masking reduces to two per-frame [6]-contractions; forward
-  masking is a banded Toeplitz-GEMM recurrence.
+* the band domain runs TRANSPOSED ([40 bands on sublanes, instants on
+  lanes]): the level-dependent frequency spreading is a per-instant
+  [40, 40] contraction, the slope-filter state a natively instants-last
+  blocked recurrence, backward masking two per-frame [6]-contractions,
+  and forward masking a banded Toeplitz-GEMM recurrence in its natural
+  [Z, F] layout.
 
 The reference's ring-buffer aliasing quirk (the lag-1456 tap reads the newest
 sample, see earparams/numpy_ref) is preserved by folding that coefficient
