@@ -1,11 +1,13 @@
 """Benchmark harness: PEAQ throughput on the current accelerator.
 
-Prints the headline JSON line FIRST (the driver parses the first line):
+Prints the headline JSON line FIRST and again LAST (round-2 showed the
+driver parses the LAST stdout JSON line; emitting the identical headline
+record in both positions is safe under either parser):
   {"metric": "audio-seconds/sec/chip (basic PEAQ, batch 64)",
    "value": N, "unit": "audio-sec/s", "vs_baseline": N / 6400}
-then one JSON line each for the advanced mode and the accurate ("mixed")
-tier, so every tier the north star cares about is machine-tracked round
-over round.  Commentary goes to stderr.
+Between them, one JSON line each for the advanced mode and the accurate
+("mixed") tier, so every tier the north star cares about is
+machine-tracked round over round.  Commentary goes to stderr.
 
 Baseline normalization: the BASELINE.json north star asks for >=100x
 realtime per pair at batch 64 on one chip = 6400 audio-seconds/sec/chip
@@ -103,14 +105,15 @@ def main() -> None:
           f"len={seconds}s", file=sys.stderr)
     print(f"# basic: {basic_rate:.0f} audio-sec/s "
           f"({basic_rate / batch:.0f}x realtime/pair)", file=sys.stderr)
-    # headline JSON first — secondary measurements may hit cold multi-minute
-    # compiles and must not delay the reported metric
-    print(json.dumps({
+    headline = json.dumps({
         "metric": "audio-seconds/sec/chip (basic PEAQ, batch 64)",
         "value": round(basic_rate, 1),
         "unit": "audio-sec/s",
         "vs_baseline": round(basic_rate / 6400.0, 3),
-    }), flush=True)
+    })
+    # headline JSON first — secondary measurements may hit cold multi-minute
+    # compiles and must not delay the reported metric
+    print(headline, flush=True)
     # secondary tiers: always emitted as JSON records (the north star cares
     # about all three); a failure prints a JSON record with value 0 rather
     # than silently dropping the tier
@@ -139,6 +142,9 @@ def main() -> None:
         print(json.dumps(rec), flush=True)
         print(f"# {metric}: {rate:.0f} ({rate / batch:.0f}x realtime/pair)",
               file=sys.stderr)
+    # headline repeated LAST: the driver records the last JSON line on
+    # stdout (BENCH_r02.json took the accurate tier as the round's record)
+    print(headline, flush=True)
 
 
 if __name__ == "__main__":

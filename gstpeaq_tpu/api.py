@@ -104,11 +104,12 @@ def _pad_bucketed(sig: np.ndarray, n_own: int, n_bucket: int,
 
 @functools.lru_cache(maxsize=32)
 def _jitted_basic(n_frames: int, channels: int, playback_level: float,
-                  settings: C.Settings, dtype_name: str):
+                  settings: C.Settings, dtype_name: str,
+                  band_count: int = C.BASIC_BAND_COUNT):
     import jax
     from .models import basic
     dtype, sdtype = resolve_dtypes(dtype_name)
-    pipe, consts = basic.make_pipeline(C.BASIC_BAND_COUNT, playback_level,
+    pipe, consts = basic.make_pipeline(band_count, playback_level,
                                        settings, dtype, sdtype)
     jfn = jax.jit(pipe)
     return lambda *args: jfn(consts, *args)
@@ -140,10 +141,15 @@ def default_dtype() -> str:
 
 def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
          settings: C.Settings = C.DEFAULT_SETTINGS,
-         dtype: str | None = None, return_snr: bool = False) -> PeaqResult:
+         dtype: str | None = None, return_snr: bool = False,
+         band_count: int | None = None) -> PeaqResult:
     """Compute PEAQ ODG/DI for one 48 kHz pair.
 
     ref/test: arrays [samples] or [samples, channels], float; 48 kHz.
+    band_count: FFT-ear critical-band count, 55..109 (the reference's
+    runtime `number-of-bands` property, src/fftearmodel.c:207-214); basic
+    mode only — defaults to 109.  Advanced mode pins 55 as the reference's
+    mode switch does (src/gstpeaq.c:534-541).
     """
     enable_compile_cache()
     ref = _as_2d_f32(ref)
@@ -151,6 +157,12 @@ def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
     if ref.shape[1] != test.shape[1]:
         raise ValueError("ref/test channel counts differ")
     dtype = dtype or default_dtype()
+    if band_count is not None:
+        if advanced:
+            raise ValueError("band_count applies to basic mode only "
+                             "(advanced pins 55)")
+        if not 55 <= band_count <= 109:
+            raise ValueError("band_count must be in 55..109")
 
     n_fft = framing.num_frames(ref.shape[0], test.shape[0],
                                C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
@@ -162,7 +174,7 @@ def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
 
     if not advanced:
         fn = _jitted_basic(n_fft_b, ref.shape[1], playback_level, settings,
-                           dtype)
+                           dtype, band_count or C.BASIC_BAND_COUNT)
         out = fn(ref_fft, test_fft, np.int32(n_fft))
         movs = {name: float(v)
                 for name, v in zip(C.MOV_BASIC_NAMES, np.asarray(out.movs))}

@@ -53,6 +53,9 @@ def main(argv=None) -> int:
     parser.add_argument("--totalsnr", action="store_true",
                         help="also print the overall SNR in dB (the "
                         "reference's totalsnr element property)")
+    parser.add_argument("--bands", type=int, default=None, metavar="N",
+                        help="FFT-ear band count 55..109, basic mode only "
+                        "(the reference's number-of-bands property)")
     parser.add_argument("files", nargs="*", metavar="REFFILE TESTFILE")
     args = parser.parse_args(argv)
 
@@ -91,7 +94,7 @@ def main(argv=None) -> int:
 
     res = api.peaq(ref, test, advanced=args.advanced,
                    playback_level=args.playback_level, dtype=args.precision,
-                   return_snr=args.totalsnr)
+                   return_snr=args.totalsnr, band_count=args.bands)
 
     if args.console_output:
         if args.advanced:

@@ -97,10 +97,18 @@ def avg_window(v, called, committed):
     """MODE_AVG_WINDOW (4-frame sliding window of sqrt, NaN-primed warmup);
     src/movaccum.c:392-413.
 
-    Assumes `called` frames form a contiguous trailing range (true for its
-    only user, WinModDiff1B, gated on frame_counter >= 24): the j-th call
-    contributes ((sum of last 4 sqrt values)/4)^4 once j >= 3.
+    Assumes `called` frames form one contiguous block (true for its only
+    user, WinModDiff1B, gated on frame_counter >= 24): the j-th call
+    contributes ((sum of last 4 sqrt values)/4)^4 once j >= 3.  The shift
+    trick below silently mixes non-adjacent frames if the block has gaps,
+    so violation poisons the result with NaN (loud, not wrong).
     """
+    # invariant guard: `called` must be 0*1*0* along the frame axis
+    # (at most one rising edge) for the fixed-shift window to be the
+    # reference's per-call sliding window
+    rising = (jnp.sum((called[1:] & ~called[:-1]).astype(jnp.int32), axis=0)
+              + called[0].astype(jnp.int32))
+    contiguous = jnp.all(rising <= 1)
     sq = jnp.sqrt(jnp.where(called, v, 0.0))
 
     def shift(x, k):
@@ -113,4 +121,5 @@ def avg_window(v, called, committed):
     call_idx = jnp.cumsum(called.astype(v.dtype), axis=0) - 1.0
     full = called & (call_idx >= 3)
     mask = full & committed
-    return jnp.sqrt(_msum(contrib, mask) / _msum(jnp.ones_like(v), mask))
+    out = jnp.sqrt(_msum(contrib, mask) / _msum(jnp.ones_like(v), mask))
+    return jnp.where(contiguous, out, jnp.nan)

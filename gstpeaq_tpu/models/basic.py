@@ -129,7 +129,8 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         ehs_val, ehs_valid = MOVS.ehs(
             ref_w, test_w, thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if k.ehs_fwd is None else
-            (k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im, k.ehs_fwd2))
+            (k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im, k.ehs_fwd2),
+            delta_weighted=delta_w)
 
         # ---- accumulate (channel means where multichannel) ----
         cm = committed[:, None]

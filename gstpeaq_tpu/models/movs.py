@@ -145,7 +145,7 @@ def prob_detect(e_ref: jnp.ndarray, e_test: jnp.ndarray,
 
 def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
         ref_thresh: jnp.ndarray, test_thresh: jnp.ndarray,
-        settings: C.Settings, dtype, ehs_mats=None):
+        settings: C.Settings, dtype, ehs_mats=None, delta_weighted=None):
     """Error harmonic structure per frame; src/movs.c:1345-1443.
 
     ref/test_weighted: [F, C, 1025]; ref/test_thresh: [F, C] bool.
@@ -156,12 +156,25 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
     `ehs_mats` = (fwd512, inv_re, inv_im, fwd256) DFT-GEMM matrices
     (FFTEarConsts.ehs_*): when given, the three per-frame transforms run as
     MXU matmuls instead of VPU FFTs (~2x faster stage on TPU, same math).
+
+    `delta_weighted` (optional): accurately-cancelled wr - wt from
+    fft_ear.stateless_pair_hop.  The log-spectral difference then evaluates
+    as d = log1p(-(wr - wt) / wr) — algebraically log(wt / wr), but exact
+    zero for identical signals and accurate to the distortion scale for
+    near-transparent pairs.  Without it, f32 spectra make d pure rounding
+    noise (~2^-23: TPU's x/x is not exactly 1) whose NORMALIZED
+    autocorrelation is O(1) — EHS has no amplitude scale, so eps-level d
+    noise produced O(0.1) EHS (ODG drift ~3e-3 on an identical pair).
     """
     n = C.MAXLAG
     valid = jnp.any(ref_thresh | test_thresh, axis=-1)
     rw = ref_weighted[..., :2 * n]
     tw = test_weighted[..., :2 * n]
-    d = jnp.where((rw == 0.0) & (tw == 0.0), 0.0, jnp.log(tw / rw))
+    if delta_weighted is not None:
+        dl = delta_weighted[..., :2 * n]
+        d = jnp.where((rw == 0.0) & (tw == 0.0), 0.0, jnp.log1p(-dl / rw))
+    else:
+        d = jnp.where((rw == 0.0) & (tw == 0.0), 0.0, jnp.log(tw / rw))
     # c[i] = sum_{k<256} d[k] d[k+i], via frequency domain like the reference
     if ehs_mats is not None:
         fwd512, inv_re, inv_im, _ = ehs_mats

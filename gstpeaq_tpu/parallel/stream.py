@@ -27,6 +27,12 @@ import numpy as np
 
 from .. import constants as C
 
+# Checkpoint compatibility tag (utils/checkpoint.py embeds + checks this).
+# Bump whenever the carried state pytree changes shape or meaning.
+#   2: complex biquad carries became real [..., 2] pairs; FB e0 tail
+#      transposed [CH, 10, Z] -> [CH, Z, 10] (round 2)
+STATE_FORMAT_VERSION = 2
+
 
 # ---------------------------------------------------------------------------
 # Device-side chunk step (basic version)
@@ -128,7 +134,8 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         ehs_val, ehs_valid = MOVS.ehs(
             weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if k.ehs_fwd is None else
-            (k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im, k.ehs_fwd2))
+            (k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im, k.ehs_fwd2),
+            delta_weighted=delta_w)
 
         # --- streaming accumulation ---
         has_prev = state["has_above"]
@@ -276,7 +283,8 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
 
     dtype, sdtype = api.resolve_dtypes(dtype_name)
     fft_params = EP.fft_ear_params(C.ADVANCED_FFT_BAND_COUNT, playback_level)
-    kf0 = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype)
+    kf0 = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype,
+                          truncate_spectrum=True)
     fb_params = EP.fb_ear_params(playback_level)
     kb0 = FB.build_consts(
         fb_params, dtype=dtype, spectrum_dtype=sdtype,
@@ -371,7 +379,8 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
         ehs_val, ehs_valid = MOVS.ehs(
             weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if kf.ehs_fwd is None else
-            (kf.ehs_fwd, kf.ehs_inv_re, kf.ehs_inv_im, kf.ehs_fwd2))
+            (kf.ehs_fwd, kf.ehs_inv_re, kf.ehs_inv_im, kf.ehs_fwd2),
+            delta_weighted=delta_w)
         has_prev = state["has_above_fft"]
         active = has_prev | (jnp.cumsum(above.astype(jnp.int32)) > 0)
         any_above = jnp.any(above)

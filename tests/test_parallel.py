@@ -35,6 +35,19 @@ def test_sharded_equals_batch(pairs):
     np.testing.assert_allclose(sh["odg"], out["odg"], atol=1e-12)
 
 
+@pytest.mark.slow
+def test_sharded_equals_batch_advanced(pairs):
+    """Advanced mode's dual-rate input pytree sharded over the 8-device
+    mesh must agree with the single-device batch exactly."""
+    import jax
+    assert len(jax.devices()) == 8
+    refs = [p[0] for p in pairs[:3]]
+    tests = [p[1] for p in pairs[:3]]
+    out = B.peaq_batch(refs, tests, advanced=True, granularity=8)
+    sh = S.peaq_sharded(refs, tests, advanced=True, granularity=8)
+    np.testing.assert_allclose(sh["odg"], out["odg"], atol=1e-12)
+
+
 def test_train_cognitive_sharded_decreases_loss():
     rng = np.random.default_rng(5)
     movs = rng.standard_normal((64, 11)) * 10 + 50

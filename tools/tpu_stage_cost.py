@@ -50,6 +50,30 @@ def build(dtype_name, mode="basic"):
     return lambda *a: jfn(consts, *a)
 
 
+def _fb_bank_dummy(k, hp2, history=None):
+    """Shape-matched stand-in for FB.filter_bank_t ([.., 40, I] pair)."""
+    n_inst = hp2.shape[-1] // 32
+    m = jnp.mean(hp2.reshape(*hp2.shape[:-1], n_inst, 32), -1)  # [.., I]
+    x = m[..., None, :] * jnp.ones((40, 1), hp2.dtype)
+    return x, 0.5 * x
+
+
+def _fb_spread_dummy(k, fb_re, fb_im, cu_state=None, return_state=False):
+    """Stand-in for FB.spread_t ([.., Z, I] layout, cu state [.., Z])."""
+    e0 = fb_re * fb_re + fb_im * fb_im
+    return (e0, e0[..., -1]) if return_state else e0
+
+
+def _fb_masking_dummy(k, e0, n_frames, state=None, return_state=False):
+    """Stand-in for FB.back_and_forward_masking_t ([.., Z, I] -> [.., Z, F]
+    pair + (e0_tail [.., Z, 10], excitation [.., Z]) state)."""
+    exc = (e0.reshape(*e0.shape[:-1], n_frames, 6)[..., 5]
+           + k.internal_noise[:, None])
+    if return_state:
+        return exc, exc, (e0[..., -10:], exc[..., -1])
+    return exc, exc
+
+
 DUMMIES = {
     "ehs": (MOVS, "ehs", lambda w_r, w_t, t0, t1, s, d, ehs_mats=None: (
         jnp.zeros(w_r.shape[:-1], w_r.dtype),
@@ -57,7 +81,7 @@ DUMMIES = {
     "prob_detect": (MOVS, "prob_detect", lambda er, et, fl: (
         jnp.mean(er - et, axis=(-1, -2)) * 0 + 0.6,
         jnp.mean(er - et, axis=(-1, -2)))),
-    "nmr": (MOVS, "nmr", lambda g, m, wr, wt, re: (
+    "nmr": (MOVS, "nmr", lambda g, m, wr, wt, re, delta_weighted=None: (
         jnp.mean(wr - wt, axis=-1), jnp.mean(wr - wt, axis=-1))),
     "bandwidth": (MOVS, "bandwidth", lambda r, t: (
         jnp.mean(r, -1), jnp.mean(t, -1),
@@ -77,20 +101,15 @@ DUMMIES = {
     "noise_loud": (MOVS, "noise_loudness",
                    lambda n, a, tf, s0, nlm, mr, mt, ar, at: (
                        jnp.mean(ar - at, -1))),
-    # FB-path stages (advanced mode)
-    "fb_filter_bank": (FB, "filter_bank", lambda k, hp2, history=None: (
-        jnp.mean(hp2.reshape(*hp2.shape[:-1], -1, 32), -1)[..., None]
-        * jnp.ones((40,), hp2.dtype),) * 2),
+    # FB-path stages (advanced mode); targets match process_signal's
+    # current call chain: filter_bank_t (grouped conv) -> spread_t ->
+    # back_and_forward_masking_t (all on the transposed [.., Z, I] layout)
+    "fb_filter_bank": (FB, "filter_bank_t", _fb_bank_dummy),
     "fb_dc": (FB, "dc_reject",
-              lambda x, state=None, return_state=False: x * 0.999),
-    "fb_spread": (FB, "spread",
-                  lambda k, re, im, cu_state=None, return_state=False:
-                  re * re + im * im),
-    "fb_masking": (FB, "back_and_forward_masking",
-                   lambda k, e0, n_frames, state=None, return_state=False: (
-                       (e0[..., 5::6, :] + k.internal_noise,
-                        e0[..., 5::6, :] + k.internal_noise)
-                       + ((state,) if return_state else ()))),
+              lambda x, state=None, return_state=False:
+              (x * 0.999, (x[..., -2:],) * 4) if return_state else x * 0.999),
+    "fb_spread": (FB, "spread_t", _fb_spread_dummy),
+    "fb_masking": (FB, "back_and_forward_masking_t", _fb_masking_dummy),
 }
 
 
