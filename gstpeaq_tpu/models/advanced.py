@@ -45,7 +45,11 @@ def make_pipeline(playback_level: float = 92.0,
     """
     sdtype = spectrum_dtype or dtype
     fft_params = EP.fft_ear_params(C.ADVANCED_FFT_BAND_COUNT, playback_level)
-    kf0 = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype)
+    # truncate_spectrum: the advanced FFT path reads no bin above the
+    # grouping support (NMR < group_bin_hi, EHS < 512; bandwidth is
+    # basic-only), so the rDFT GEMM skips the top ~25% of columns
+    kf0 = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype,
+                          truncate_spectrum=True)
     fb_params = EP.fb_ear_params(playback_level)
     kb0 = FB.build_consts(
         fb_params, dtype=dtype, spectrum_dtype=sdtype,
@@ -80,7 +84,8 @@ def make_pipeline(playback_level: float = 92.0,
         ehs_val, ehs_valid = MOVS.ehs(
             weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if kf.ehs_fwd is None else
-            (kf.ehs_fwd, kf.ehs_inv_re, kf.ehs_inv_im, kf.ehs_fwd2))
+            (kf.ehs_fwd, kf.ehs_inv_re, kf.ehs_inv_im, kf.ehs_fwd2),
+            delta_weighted=delta_w)
         cmf = committed_fft[:, None]
         one = jnp.ones_like(nmr_mean)
         seg_nmr = jnp.mean(accum.avg(

@@ -46,11 +46,15 @@ def level_adapt(a: jnp.ndarray, avg_matrix: jnp.ndarray,
     (ref_filt, test_filt, filt_num, filt_den, pattcorr_ref, pattcorr_test).
     Returns (adapted_ref, adapted_test, new_state), each [F, ..., Z].
     """
+    # The six per-band recurrences batch pairwise into three banded
+    # Toeplitz-GEMM calls (a leading ref/test stack axis): same math per
+    # slice, half the recurrence-GEMM dispatches with doubled M rows.
     s = state if state is not None else (None,) * 6
-    ref_filt = iir.smoothing_filter_banded(a, ref_excitation, axis=axis,
-                                           y0=s[0])
-    test_filt = iir.smoothing_filter_banded(a, test_excitation, axis=axis,
-                                            y0=s[1])
+    fa = axis + 1                     # frame axis after the pair stack
+    pair0 = None if s[0] is None else jnp.stack([s[0], s[1]])
+    filt = iir.smoothing_filter_banded(
+        a, jnp.stack([ref_excitation, test_excitation]), axis=fa, y0=pair0)
+    ref_filt, test_filt = filt[0], filt[1]
     # (45) in BS.1387; src/leveladapter.c:260-277
     num = jnp.sum(jnp.sqrt(ref_filt * test_filt), axis=-1)
     den = jnp.sum(test_filt, axis=-1)
@@ -62,19 +66,20 @@ def level_adapt(a: jnp.ndarray, avg_matrix: jnp.ndarray,
                              test_excitation * lev_corr)
     # (48); note the input terms are *not* scaled by (1-a);
     # src/leveladapter.c:291-298
-    filt_num = iir.linear_recurrence_banded(a, levcorr_test * levcorr_ref,
-                                            axis=axis, y0=s[2])
-    filt_den = iir.linear_recurrence_banded(a, levcorr_ref * levcorr_ref,
-                                            axis=axis, y0=s[3])
+    pair2 = None if s[2] is None else jnp.stack([s[2], s[3]])
+    nd = iir.linear_recurrence_banded(
+        a, jnp.stack([levcorr_test * levcorr_ref,
+                      levcorr_ref * levcorr_ref]), axis=fa, y0=pair2)
+    filt_num, filt_den = nd[0], nd[1]
     num_ge = filt_num >= filt_den
     pattadapt_ref = jnp.where(num_ge, 1.0, filt_num / filt_den)
     pattadapt_test = jnp.where(num_ge, filt_den / filt_num, 1.0)
     hp = jax.lax.Precision.HIGHEST
-    ra_ref = jnp.dot(pattadapt_ref, avg_matrix, precision=hp)
-    ra_test = jnp.dot(pattadapt_test, avg_matrix, precision=hp)
-    pattcorr_ref = iir.smoothing_filter_banded(a, ra_ref, axis=axis, y0=s[4])
-    pattcorr_test = iir.smoothing_filter_banded(a, ra_test, axis=axis,
-                                                y0=s[5])
+    ra = jnp.dot(jnp.stack([pattadapt_ref, pattadapt_test]), avg_matrix,
+                 precision=hp)
+    pair4 = None if s[4] is None else jnp.stack([s[4], s[5]])
+    pc = iir.smoothing_filter_banded(a, ra, axis=fa, y0=pair4)
+    pattcorr_ref, pattcorr_test = pc[0], pc[1]
     new_state = tuple(x[-1] for x in (
         ref_filt, test_filt, filt_num, filt_den, pattcorr_ref, pattcorr_test))
     return (levcorr_ref * pattcorr_ref, levcorr_test * pattcorr_test,

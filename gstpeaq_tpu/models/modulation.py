@@ -29,8 +29,11 @@ def modulation(a: jnp.ndarray, unsmeared_excitation: jnp.ndarray,
         prev0, fd0, fl0 = state
     prev = jnp.concatenate([prev0[None], loud[:-1]], axis=0)
     deriv = derivative_factor * jnp.abs(loud - prev)
-    filt_deriv = iir.smoothing_filter_banded(a, deriv, axis=0, y0=fd0)
-    filt_loud = iir.smoothing_filter_banded(a, loud, axis=0, y0=fl0)
+    # one banded recurrence call for both smoothers (leading stack axis)
+    y0 = None if fd0 is None else jnp.stack([fd0, fl0])
+    filt = iir.smoothing_filter_banded(a, jnp.stack([deriv, loud]), axis=1,
+                                       y0=y0)
+    filt_deriv, filt_loud = filt[0], filt[1]
     mod = filt_deriv / (1.0 + filt_loud / 0.3)
     new_state = (loud[-1], filt_deriv[-1], filt_loud[-1])
     return mod, filt_loud, new_state

@@ -40,6 +40,7 @@ from . import iir
 @dataclasses.dataclass(frozen=True)
 class FBEarConsts:
     h_phase: Any           # [13, 128, 320] phase-concatenated conv kernels
+    h_group_kernels: Any   # tuple of [w_g, 128, 8 * |G|] grouped kernels
     conv_precision: Any    # MXU precision for the FIR bank conv
     back_mask: Any         # [11]
     back_mask_w: Any       # [2, 6] frame taps (Wa, Wb); _back_mask_blocks
@@ -54,24 +55,33 @@ class FBEarConsts:
     loudness_factor: Any
     band_count: int
     swap_slope: bool = False  # settings.h:97 SWAP_SLOPE_FILTER_COEFFICIENTS
+    group_blocks: tuple = ()  # per group: (first, one-past-last) 128-block
 
+
+# Band groups for the window-length-split conv (see filter_bank_t): Table-8
+# filter lengths fall 1456 -> 52 across the 40 bands, and each band's taps
+# sit CENTERED in the 1456-lag window (delay D = 1 + (1456 - N) / 2,
+# src/fbearmodel.c:408), so high-band channel groups touch only the middle
+# input blocks.  Groups of 16 keep the conv's output-channel dim at full
+# 128-lane tiles (8 channels/band: 4 phases x re/im).
+_CONV_GROUPS = ((0, 16), (16, 32), (32, 40))
 
 _FB_LEAF_FIELDS = (
-    "h_phase", "back_mask", "back_mask_w", "internal_noise", "ear_a",
-    "adapt_a", "fc",
+    "h_phase", "h_group_kernels", "back_mask", "back_mask_w",
+    "internal_noise", "ear_a", "adapt_a", "fc",
     "lower_matrix", "level_factor", "threshold", "excitation_threshold",
     "loudness_factor")
 
 
 def _fb_consts_flatten(k):
     return (tuple(getattr(k, f) for f in _FB_LEAF_FIELDS),
-            (k.band_count, k.swap_slope, k.conv_precision))
+            (k.band_count, k.swap_slope, k.conv_precision, k.group_blocks))
 
 
 def _fb_consts_unflatten(aux, children):
     kwargs = dict(zip(_FB_LEAF_FIELDS, children))
     return FBEarConsts(band_count=aux[0], swap_slope=aux[1],
-                       conv_precision=aux[2], **kwargs)
+                       conv_precision=aux[2], group_blocks=aux[3], **kwargs)
 
 
 jax.tree_util.register_pytree_node(
@@ -109,12 +119,32 @@ def build_consts(params: EP.FBEarParams, dtype=jnp.float64,
         kp = np.pad(h_rev, ((0, 0), (16 + 32 * p, 192 - 32 * p)))
         phases.append(kp.reshape(80, 13, 128).transpose(1, 2, 0))
     h_phase = np.concatenate(phases, axis=-1)          # [13, 128, 320]
+    # Window-length-split kernels (filter_bank_t): each band group's taps
+    # span a contiguous block subrange; the footprint is derived from the
+    # actual nonzero taps so kernel-layout changes can't silently misalign.
+    nz_cols = np.abs(h_rev) > 0.0                       # [80, 1456]
+    group_kernels = []
+    group_blocks = []
+    for b0, b1 in _CONV_GROUPS:
+        rows = list(range(b0, b1)) + [40 + b for b in range(b0, b1)]
+        nz = np.nonzero(nz_cols[rows].any(axis=0))[0]
+        lo_blk = (16 + nz.min()) // 128                 # phase 0 low edge
+        hi_blk = (16 + 96 + nz.max()) // 128 + 1        # phase 3 high edge
+        gph = []
+        for p in range(4):
+            kp = np.pad(h_rev[rows], ((0, 0), (16 + 32 * p, 192 - 32 * p)))
+            kp = kp.reshape(len(rows), 13, 128)[:, lo_blk:hi_blk]
+            gph.append(kp.transpose(1, 2, 0))
+        group_kernels.append(fs(np.concatenate(gph, axis=-1)))
+        group_blocks.append((int(lo_blk), int(hi_blk)))
     Z = C.FB_BAND_COUNT
     idx = np.arange(Z)
     expo = idx[:, None] - idx[None, :]                 # [j, k] -> j - k
     lower = np.where(expo >= 0, C.CL ** np.maximum(expo, 0), 0.0)
     return FBEarConsts(
         h_phase=fs(h_phase),
+        h_group_kernels=tuple(group_kernels),
+        group_blocks=tuple(group_blocks),
         # band-domain f32 = the throughput tier: bf16x3 conv (~1e-5 rel err)
         # is invisible under its band-chain-dominated ODG noise; wider band
         # domains keep the full-precision conv (the <=1e-3-ODG tier).
@@ -261,23 +291,8 @@ def filter_bank(k: FBEarConsts, hp2: jnp.ndarray, history=None,
     stack+slice interleave pass was ~12% of the advanced device time.
     """
     dtype = hp2.dtype
-    lead = hp2.shape[:-1]
-    t = hp2.shape[-1]
-    n_inst = t // C.FB_SUBSAMPLING
-    if history is not None:
-        base = jnp.concatenate([history, hp2], axis=-1)  # [..., T+1455]
-    else:
-        base = jnp.pad(hp2.reshape(-1, t),
-                       ((0, 0), (C.FB_BUFFER_LENGTH - 1, 0)))
-        base = base.reshape(*lead, t + C.FB_BUFFER_LENGTH - 1)
-    # z[j] = x[j - 1471]: prepend 16 zeros; pad the tail so the 13-block
-    # window of the last phase-output stays in range
-    z = base.reshape(-1, base.shape[-1])
-    n = z.shape[0]
-    ti = -(-n_inst // 4)                     # phase outputs needed
-    m = ti + 13                              # 128-blocks incl. window
-    z = jnp.pad(z, ((0, 0), (16, m * 128 - 16 - z.shape[-1])))
-    blocks = z.reshape(n, m, 128)
+    blocks, n_inst, ti, lead = _blocks_for_conv(hp2, history)
+    n = blocks.shape[0]
     o = jax.lax.conv_general_dilated(
         blocks, k.h_phase, window_strides=(1,), padding="VALID",
         dimension_numbers=("NHC", "HIO", "NHC"),
@@ -290,6 +305,61 @@ def filter_bank(k: FBEarConsts, hp2: jnp.ndarray, history=None,
     out = o[:, :ti].reshape(n, 4 * ti, 80)
     out = out[:, :n_inst].reshape(*lead, n_inst, 80)
     return out[..., :40], out[..., 40:]
+
+
+def _blocks_for_conv(hp2: jnp.ndarray, history):
+    """Shared front half of the FIR-bank convs: history splice + the
+    [n, m, 128] block layout (see filter_bank).  Returns (blocks, n_inst,
+    ti, lead)."""
+    lead = hp2.shape[:-1]
+    t = hp2.shape[-1]
+    n_inst = t // C.FB_SUBSAMPLING
+    if history is not None:
+        base = jnp.concatenate([history, hp2], axis=-1)  # [..., T+1455]
+    else:
+        base = jnp.pad(hp2.reshape(-1, t),
+                       ((0, 0), (C.FB_BUFFER_LENGTH - 1, 0)))
+        base = base.reshape(*lead, t + C.FB_BUFFER_LENGTH - 1)
+    z = base.reshape(-1, base.shape[-1])
+    ti = -(-n_inst // 4)
+    m = ti + 13
+    z = jnp.pad(z, ((0, 0), (16, m * 128 - 16 - z.shape[-1])))
+    return z.reshape(z.shape[0], m, 128), n_inst, ti, lead
+
+
+def filter_bank_t(k: FBEarConsts, hp2: jnp.ndarray, history=None):
+    """Window-length-split FIR bank producing the TRANSPOSED band-major
+    layout [..., 40, I] (re, im) the band chain consumes.
+
+    Same phase-split implicit-GEMM scheme as filter_bank, but the 40 bands
+    are split into _CONV_GROUPS by tap footprint: Table-8 band lengths
+    average ~400 of the padded 1456 taps, so the uniform conv spends ~73%
+    of its MXU FLOPs multiplying structural zeros.  Each group's conv reads
+    only its [lo, hi) input-block subrange (out[t] = sum_j blocks[t+j]k[j]
+    restricted to the nonzero j) — 21 vs 39 output-channel 128-tiles, a
+    1.86x MXU cut with no band reshuffle: group outputs regroup exactly
+    like the uniform conv and concatenate on the SUBLANE band axis (the
+    round-2 band-bucketed attempt lost to 16-LANE concats in the
+    interleaved layout; the transposed layout removes that tax).
+    """
+    dtype = hp2.dtype
+    blocks, n_inst, ti, lead = _blocks_for_conv(hp2, history)
+    n = blocks.shape[0]
+    res, ims = [], []
+    for (lo, hi), kern in zip(k.group_blocks, k.h_group_kernels):
+        o = jax.lax.conv_general_dilated(
+            blocks[:, lo:], kern, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=dtype,
+            precision=k.conv_precision)        # [n, m - lo - w + 1, 8|G|]
+        g2 = kern.shape[-1] // 4               # 2 * |G|
+        og = o[:, :ti].reshape(n, ti, 4, g2)
+        og = jnp.moveaxis(og, -1, -3).reshape(n, g2, 4 * ti)[..., :n_inst]
+        res.append(og[:, :g2 // 2])
+        ims.append(og[:, g2 // 2:])
+    re = jnp.concatenate(res, axis=-2).reshape(*lead, 40, n_inst)
+    im = jnp.concatenate(ims, axis=-2).reshape(*lead, 40, n_inst)
+    return re, im
 
 
 def _slope_inputs(k: FBEarConsts, fb_re, fb_im):
@@ -466,15 +536,12 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
     bdtype = k.internal_noise.dtype
     hp2, dc_new = dc_reject(
         signal.astype(k.level_factor.dtype) * k.level_factor, dc_state, True)
-    n_inst = hp2.shape[-1] // C.FB_SUBSAMPLING
-    fb4 = filter_bank(k, hp2, history=hp2_hist, interleave=False)
-    # one lane-regroup copy into the transposed band-major layout
-    # [.., 80, I] (instant 4t + p on lanes); the whole band-domain chain
+    # grouped conv directly into the transposed band-major layout
+    # [.., 40, I] (instant 4t + p on lanes); the whole band-domain chain
     # then runs bands-on-sublanes with no 40->128 lane padding
-    fbt = jnp.moveaxis(fb4, -1, -3).reshape(
-        *fb4.shape[:-3], 80, -1)[..., :n_inst]
+    fb_re, fb_im = filter_bank_t(k, hp2, history=hp2_hist)
     e0, cu_new = spread_t(
-        k, fbt[..., :40, :].astype(bdtype), fbt[..., 40:, :].astype(bdtype),
+        k, fb_re.astype(bdtype), fb_im.astype(bdtype),
         cu_state, True)                          # [.., 40, I]
     exc_t, uns_t, mask_new = back_and_forward_masking_t(
         k, e0, n_frames, mask_state, True)

@@ -53,6 +53,7 @@ class FFTEarConsts:
     loudness_factor: Any
     band_count: int
     group_bin_hi: int = C.FFT_FRAMESIZE // 2 + 1  # grouping-support bins
+    spec_bins: int = C.FFT_FRAMESIZE // 2 + 1     # spectrum bins computed
 
 
 # Registered as a pytree with the arrays as leaves so the bundle can be
@@ -69,13 +70,13 @@ _FFT_LEAF_FIELDS = (
 
 def _fft_consts_flatten(k):
     return (tuple(getattr(k, f) for f in _FFT_LEAF_FIELDS),
-            (k.dft_precision, k.band_count, k.group_bin_hi))
+            (k.dft_precision, k.band_count, k.group_bin_hi, k.spec_bins))
 
 
 def _fft_consts_unflatten(aux, children):
     kwargs = dict(zip(_FFT_LEAF_FIELDS, children))
     return FFTEarConsts(dft_precision=aux[0], band_count=aux[1],
-                        group_bin_hi=aux[2], **kwargs)
+                        group_bin_hi=aux[2], spec_bins=aux[3], **kwargs)
 
 
 jax.tree_util.register_pytree_node(
@@ -84,13 +85,20 @@ jax.tree_util.register_pytree_node(
 
 def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
                  use_dft_gemm: bool | None = None,
-                 spectrum_dtype=None) -> FFTEarConsts:
+                 spectrum_dtype=None,
+                 truncate_spectrum: bool = False) -> FFTEarConsts:
     """`dtype` is the band-domain compute type (Z-length arrays: spreading,
     smearing, adaptation, modulation, MOVs); `spectrum_dtype` the bin-domain
     type (frames, DFT, 1025-bin spectra).  Mixed f64/f32 gives near-f64 MOV
     accuracy at f32 spectrum cost on TPU: the modulation derivative amplifies
     frame-independent rounding noise of the *band chain*, while the spectrum
-    noise contribution is ~10x smaller (measured)."""
+    noise contribution is ~10x smaller (measured).
+
+    `truncate_spectrum`: compute only the grouping-supported bins
+    (group_bin_hi, ~18 kHz -> 769 of 1025).  Valid when no consumer reads
+    bins above it — the ADVANCED FFT path (NMR needs bins < group_bin_hi,
+    EHS bins < 512, energy threshold is time-domain); NOT the basic path
+    (bandwidth scans bins up to 1024).  Cuts the rDFT GEMM's N by 25%."""
     spectrum_dtype = spectrum_dtype or dtype
     fs = lambda x: jnp.asarray(x, dtype=spectrum_dtype)
     f = lambda x: jnp.asarray(x, dtype=dtype)
@@ -99,6 +107,10 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
     expo = idx[None, :] - idx[:, None]  # [i, j] -> j - i
     aLe = params.lower_spreading_exponentiated
     lower = np.where(expo <= 0, aLe ** np.maximum(-expo, 0), 0.0)
+    # last spectrum bin the critical-band grouping touches (~18 kHz)
+    group_bin_hi = int(np.nonzero(
+        params.group_matrix.any(axis=1))[0].max() + 1)
+    spec_bins = group_bin_hi if truncate_spectrum else C.FFT_FRAMESIZE // 2 + 1
     # GEMM-native windowed rDFT: on TPU the VPU FFT runs at ~100 GFLOP/s
     # while the MXU eats a [N, 2048] @ [2048, 2050] GEMM; folding the Hann
     # window into the DFT matrix also removes one full pass over the frames.
@@ -108,7 +120,7 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
     dft = None
     if use_dft_gemm:
         n = C.FFT_FRAMESIZE
-        kk = np.arange(n // 2 + 1)
+        kk = np.arange(spec_bins)
         nn = np.arange(n)
         ang = -2.0 * np.pi * np.outer(nn, kk) / n
         win = params.hann_window[:, None]
@@ -143,9 +155,9 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
         ehs_inv_re=ehs_inv_re,
         ehs_inv_im=ehs_inv_im,
         ehs_fwd2=ehs_fwd2,
-        om_weight=fs(params.outer_middle_ear_weight),
+        om_weight=fs(params.outer_middle_ear_weight[:spec_bins]),
         level_factor=fs(params.level_factor),
-        group_matrix=fs(params.group_matrix),
+        group_matrix=fs(params.group_matrix[:spec_bins]),
         internal_noise=f(params.internal_noise),
         a_uc_log=f(np.log(params.a_uc)),
         a_uc=f(params.a_uc),
@@ -160,10 +172,8 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
         excitation_threshold=f(params.excitation_threshold),
         loudness_factor=f(params.loudness_factor),
         band_count=Z,
-        # last spectrum bin the critical-band grouping touches (~18 kHz);
-        # the NMR delta path only needs bins below it
-        group_bin_hi=int(np.nonzero(
-            params.group_matrix.any(axis=1))[0].max() + 1),
+        group_bin_hi=group_bin_hi,
+        spec_bins=spec_bins,
     )
 
 
@@ -286,13 +296,13 @@ def stateless(k: FFTEarConsts, frames: jnp.ndarray):
     bdtype = k.internal_noise.dtype  # band-domain dtype (may be wider)
     x = frames.astype(sdtype)
     if k.dft_matrix is not None:
-        bins = C.FFT_FRAMESIZE // 2 + 1
+        bins = k.spec_bins
         spec_ri = jnp.dot(x, k.dft_matrix, precision=k.dft_precision)
         power = (spec_ri[..., :bins] ** 2
                  + spec_ri[..., bins:] ** 2) * k.level_factor
     else:
         windowed = x * k.hann
-        spec = rfft_flat(windowed)
+        spec = rfft_flat(windowed)[..., :k.spec_bins]
         power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * k.level_factor
     weighted = power * k.om_weight
     band_power = group_into_bands(k, weighted).astype(bdtype)
@@ -313,41 +323,19 @@ def _spec_ri_hop(k: FFTEarConsts, blocks: jnp.ndarray) -> jnp.ndarray:
         return (jnp.dot(b0, k.dft_matrix[:hop], precision=k.dft_precision)
                 + jnp.dot(b1, k.dft_matrix[hop:], precision=k.dft_precision))
     windowed = jnp.concatenate([b0, b1], axis=-1) * k.hann
-    spec = rfft_flat(windowed)
+    spec = rfft_flat(windowed)[..., :k.spec_bins]
     return jnp.concatenate([jnp.real(spec), jnp.imag(spec)], axis=-1)
-
-
-def stateless_hop(k: FFTEarConsts, blocks: jnp.ndarray):
-    """stateless() taking hop-sized blocks [..., F + 1, CH, 1024] instead
-    of materialized 50%-overlap frames (frame f = blocks[f] | blocks[f+1]).
-
-    The windowed rDFT splits into two half-frame GEMMs — same FLOPs, but
-    the 2x overlap duplication (frames_overlap50 + the [2, F, CH, 2048]
-    stack) never materializes; those copies were ~27% of the basic device
-    time.  Returns (power_spectrum, weighted_power_spectrum,
-    unsmeared_excitation, energy_threshold_reached), frame axis -3.
-    The pipelines use stateless_pair_hop, which adds the
-    accurately-cancelled NMR difference spectrum at the same GEMM cost.
-    """
-    sdtype = k.hann.dtype
-    bdtype = k.internal_noise.dtype
-    x = blocks.astype(sdtype)
-    bins = C.FFT_FRAMESIZE // 2 + 1
-    spec_ri = _spec_ri_hop(k, x)
-    power = (spec_ri[..., :bins] ** 2
-             + spec_ri[..., bins:] ** 2) * k.level_factor
-    weighted = power * k.om_weight
-    band_power = group_into_bands(k, weighted).astype(bdtype)
-    unsmeared = spread(k, band_power + k.internal_noise)
-    energy = jnp.sum(x[..., 1:, :, :] ** 2, axis=-1)   # second half-frame
-    threshold_reached = energy >= C.EHS_ENERGY_THRESHOLD
-    return power, weighted, unsmeared, threshold_reached
 
 
 def stateless_pair_hop(k: FFTEarConsts, ref_blocks: jnp.ndarray,
                        test_blocks: jnp.ndarray):
-    """stateless_hop for a ref/test PAIR with an accurately-cancelled NMR
-    noise difference — at the cost of exactly the same two rDFT GEMMs.
+    """stateless() for a ref/test PAIR of hop-sized blocks
+    [..., F + 1, CH, 1024] (frame f = blocks[f] | blocks[f+1]) with an
+    accurately-cancelled NMR noise difference — at the cost of exactly the
+    same two rDFT GEMMs.  The hop-block form means the 2x 50%-overlap
+    duplication never materializes (those copies were ~27% of the basic
+    device time); _spec_ri_hop contracts the halves with split DFT
+    matrices.
 
     The transform runs on (ref, ref - test) instead of (ref, test): the
     input difference is EXACT in floating point, so the difference
@@ -368,7 +356,7 @@ def stateless_pair_hop(k: FFTEarConsts, ref_blocks: jnp.ndarray,
     """
     sdtype = k.hann.dtype
     bdtype = k.internal_noise.dtype
-    bins = C.FFT_FRAMESIZE // 2 + 1
+    bins = k.spec_bins
     hi = k.group_bin_hi
     ref = ref_blocks.astype(sdtype)
     test = test_blocks.astype(sdtype)

@@ -53,7 +53,7 @@ def frames_overlap50(sig: jnp.ndarray, n_frames: int) -> jnp.ndarray:
 def blocks_hop(sig: jnp.ndarray, n_frames: int) -> jnp.ndarray:
     """[T, C] -> [F + 1, C, 1024] hop-sized blocks for the FFT ear model:
     frame f = blocks[f] | blocks[f + 1].  Keeping the 50%-overlap implicit
-    (fft_ear.stateless_hop contracts the two halves with split DFT
+    (fft_ear.stateless_pair_hop contracts the two halves with split DFT
     matrices) avoids materializing the 2x-duplicated frame tensor — the
     overlap copies were ~27% of the basic pipeline's device time."""
     hop = C.FFT_STEPSIZE

@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default="/tmp/peaq_xprof")
+    ap.add_argument("--hlo", action="store_true",
+                    help="per-HLO rows with source-line attribution")
     args = ap.parse_args()
 
     adv = args.mode == "advanced"
@@ -68,6 +70,28 @@ def main():
     import json
 
     from xprof.convert import raw_to_tool_data as r2t
+    if args.hlo:
+        # per-HLO rows with source-line attribution (program_id/source_info)
+        data, _ = r2t.xspace_to_tool_data([path], "hlo_stats", {})
+        if isinstance(data, bytes):
+            data = data.decode()
+        table = json.loads(data)[0]
+        ids = [c["id"] for c in table["cols"]]
+        rows = []
+        for row in table["rows"]:
+            rec = {i: (cell or {}).get("v") for i, cell in zip(ids, row["c"])}
+            rows.append(rec)
+        key_time = next((i for i in ids if "total_self_time" in i), None)
+        rows.sort(key=lambda r: -float(r.get(key_time) or 0.0))
+        total = sum(float(r.get(key_time) or 0.0) for r in rows)
+        print(f"# hlo_stats: total {total / 1e3:.1f} ms over 2 iters; "
+              f"cols={ids}")
+        for r in rows[:args.top]:
+            t = float(r.get(key_time) or 0.0)
+            print(f"{t / 1e3:9.2f} {100 * t / total:5.1f}  "
+                  f"{r.get('hlo_op_expression', r.get('hlo_op_name', ''))[:90]}"
+                  f"  @{r.get('source_info', '')}")
+        return
     data, _ = r2t.xspace_to_tool_data([path], "framework_op_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
