@@ -94,11 +94,12 @@ def resolve_dtypes(name: str):
 def _pad_bucketed(sig: np.ndarray, n_own: int, n_bucket: int,
                   frame_size: int, step_size: int) -> np.ndarray:
     """Pad to the pair's own flush-frame boundary, then zero-extend to the
-    bucket frame count (padding is masked out via the valid-frame count)."""
+    bucket frame count (padding is masked out via the valid-frame count).
+    Returns CHANNEL-MAJOR [CH, T] (the device layout)."""
     own = framing.pad_signal(sig, n_own, frame_size, step_size)
     length = framing.padded_length(n_bucket, frame_size, step_size)
-    out = np.zeros((length, sig.shape[1]), dtype=np.float32)
-    out[:own.shape[0]] = own
+    out = np.zeros((sig.shape[1], length), dtype=np.float32)
+    out[:, :own.shape[0]] = own.T
     return out
 
 
@@ -187,7 +188,9 @@ def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
 
     n_fb = framing.num_frames(ref.shape[0], test.shape[0],
                               C.FB_FRAMESIZE, C.FB_FRAMESIZE)
-    n_fb_b = _bucket(n_fb, 192)
+    # 256-frame FB buckets keep n_inst % 1536 == 0 for the fused Pallas
+    # spread (ops/pallas_fb.TILE_CONV); padding frames are masked
+    n_fb_b = _bucket(n_fb, 256)
     ref_fb = _pad_bucketed(ref, n_fb, n_fb_b, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
     test_fb = _pad_bucketed(test, n_fb, n_fb_b, C.FB_FRAMESIZE,
                             C.FB_FRAMESIZE)

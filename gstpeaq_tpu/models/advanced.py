@@ -39,9 +39,9 @@ def make_pipeline(playback_level: float = 92.0,
                   dtype=jnp.float64, spectrum_dtype=None):
     """Build the jittable advanced pipeline closure.
 
-    Returns fn(ref_fft, test_fft, ref_fb, test_fb):
-      ref/test_fft: [(F_fft + 1) * 1024, CH] float32 (zero-padded)
-      ref/test_fb:  [F_fb * 192, CH] float32 (zero-padded)
+    Returns fn(ref_fft, test_fft, ref_fb, test_fb), channel-major:
+      ref/test_fft: [CH, (F_fft + 1) * 1024] float32 (zero-padded)
+      ref/test_fb:  [CH, F_fb * 192] float32 (zero-padded)
     """
     sdtype = spectrum_dtype or dtype
     fft_params = EP.fft_ear_params(C.ADVANCED_FFT_BAND_COUNT, playback_level)
@@ -62,7 +62,7 @@ def make_pipeline(playback_level: float = 92.0,
                  valid_fft=None, valid_fb=None) -> AdvancedOutputs:
         kf, kb, avg_matrix = consts
         # ------------------ FFT path: SegmentalNMR + EHS ------------------
-        n_fft = ref_fft.shape[0] // C.FFT_STEPSIZE - 1
+        n_fft = ref_fft.shape[-1] // C.FFT_STEPSIZE - 1
         rblocks = framing.blocks_hop(ref_fft, n_fft)   # [F+1,CH,1024]
         tblocks = framing.blocks_hop(test_fft, n_fft)
         above_fft = framing.above_threshold_signal(
@@ -93,7 +93,7 @@ def make_pipeline(playback_level: float = 92.0,
         ehs_mov = jnp.mean(accum.avg(ehs_val, one, cmf & ehs_valid[:, None]))
 
         # ------------- FB path: ModDiff / NoiseLoudAsym / LinDist ----------
-        n_fb = ref_fb.shape[0] // C.FB_FRAMESIZE
+        n_fb = ref_fb.shape[-1] // C.FB_FRAMESIZE
         above_fb = framing.above_threshold_signal(
             ref_fb.astype(sdtype), n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
         if valid_fb is not None:
@@ -101,9 +101,9 @@ def make_pipeline(playback_level: float = 92.0,
         _, _, committed_fb = accum.activity(above_fb)
 
         # [2, CH, T]: both signals through ONE filter-bank pass (halves the
-        # op count of the FB front end vs separate ref/test calls)
-        both_sig = jnp.stack([jnp.moveaxis(ref_fb.astype(sdtype), 1, 0),
-                              jnp.moveaxis(test_fb.astype(sdtype), 1, 0)])
+        # op count of the FB front end vs separate ref/test calls); inputs
+        # are already channel-major
+        both_sig = jnp.stack([ref_fb.astype(sdtype), test_fb.astype(sdtype)])
         exc2, uns2 = FB.process_signal(kb, both_sig, n_fb)   # [2,CH,F,40]
         # frame axis leading for the scans
         exc2 = jnp.moveaxis(exc2, -2, 0)      # [F,2,CH,40]

@@ -49,7 +49,7 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
 
     `dtype` = band-domain compute type; `spectrum_dtype` = bin-domain type
     (mixed f64/f32 is the TPU "precise" mode).  Returns
-    fn(ref_sig, test_sig) with ref/test_sig: [T, CH] float32,
+    fn(ref_sig, test_sig) with ref/test_sig: [CH, T] float32 channel-major,
     T = (n_frames + 1) * 1024 (zero-padded, host-prepared).
     """
     sdtype = spectrum_dtype or dtype
@@ -63,8 +63,10 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
                  valid_frames=None) -> BasicOutputs:
         # consts passed as a pytree ARGUMENT: closure constants (16 MB DFT
         # matrix) inline into the HLO and slow compiles ~60x on this backend
+        # ref/test_sig: [CH, T] channel-major (the sample axis must be the
+        # contiguous minor: [T, CH]'s 2-lane transposes cost ~3 ms/iter)
         k, avg_matrix = consts
-        n_frames = ref_sig.shape[0] // C.FFT_STEPSIZE - 1
+        n_frames = ref_sig.shape[-1] // C.FFT_STEPSIZE - 1
         ref_blocks = framing.blocks_hop(ref_sig, n_frames)  # [F+1,CH,1024]
         test_blocks = framing.blocks_hop(test_sig, n_frames)
         channels = ref_blocks.shape[1]

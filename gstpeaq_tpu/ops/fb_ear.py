@@ -66,6 +66,15 @@ class FBEarConsts:
 # 128-lane tiles (8 channels/band: 4 phases x re/im).
 _CONV_GROUPS = ((0, 16), (16, 32), (32, 40))
 
+# Leading zeros folded into the conv kernels so the DATA never needs a
+# lane-shifting pad: the conv history is carried as 1536 = 12 aligned
+# 128-blocks (1455 real samples + 81 never-read zeros, since the kernels
+# are zero below offset 81).  The former [16 zeros | history | signal]
+# layout shifted the whole sample stream by 16 lanes — a ~3 ms/iter
+# relayout pass in the advanced profile.
+_KERNEL_OFF = 81
+_HIST_LEN = 1455 + _KERNEL_OFF          # 1536 = 12 * 128
+
 _FB_LEAF_FIELDS = (
     "h_phase", "h_group_kernels", "back_mask", "back_mask_w",
     "internal_noise", "ear_a", "adapt_a", "fc",
@@ -105,18 +114,16 @@ def build_consts(params: EP.FBEarParams, dtype=jnp.float64,
     h = np.concatenate([h_re, h_im], axis=0)          # [80, 1456] lag order
     h_rev = h[:, ::-1]                                 # conv kernel layout
     # Phase-split conv kernels: out[4t + p] needs kpad shifted by 32p in a
-    # 13x128 window (see filter_bank); kpad = [zeros(16) | h_rev].  All four
-    # phases read IDENTICAL input windows, so they concatenate along the
-    # output-channel axis into ONE conv: channel 80p + c is (phase p, band
-    # c) — the [ti, 4, 80] -> [4t+p] interleave then becomes a single
-    # reshape instead of a stack+slice pass, and 320 output channels fill
-    # the MXU's 128-lane tiles better than 80 (60% -> 83%).  (A further
-    # band-length bucketing into three narrower convs was tried: the MXU
-    # FLOPs halved but the per-bucket re/im de-interleave and 16-lane
-    # band-axis concatenates cost 4x the savings in copy traffic.)
+    # 13x128 window (see filter_bank); kpad = [zeros(_KERNEL_OFF) | h_rev].
+    # All four phases read IDENTICAL input windows, so they concatenate
+    # along the output-channel axis into ONE conv: channel 80p + c is
+    # (phase p, band c) — the [ti, 4, 80] -> [4t+p] interleave then becomes
+    # a single reshape instead of a stack+slice pass, and 320 output
+    # channels fill the MXU's 128-lane tiles better than 80 (60% -> 83%).
+    off = _KERNEL_OFF
     phases = []
     for p in range(4):
-        kp = np.pad(h_rev, ((0, 0), (16 + 32 * p, 192 - 32 * p)))
+        kp = np.pad(h_rev, ((0, 0), (off + 32 * p, 127 - 32 * p)))
         phases.append(kp.reshape(80, 13, 128).transpose(1, 2, 0))
     h_phase = np.concatenate(phases, axis=-1)          # [13, 128, 320]
     # Window-length-split kernels (filter_bank_t): each band group's taps
@@ -128,11 +135,11 @@ def build_consts(params: EP.FBEarParams, dtype=jnp.float64,
     for b0, b1 in _CONV_GROUPS:
         rows = list(range(b0, b1)) + [40 + b for b in range(b0, b1)]
         nz = np.nonzero(nz_cols[rows].any(axis=0))[0]
-        lo_blk = (16 + nz.min()) // 128                 # phase 0 low edge
-        hi_blk = (16 + 96 + nz.max()) // 128 + 1        # phase 3 high edge
+        lo_blk = (off + nz.min()) // 128                # phase 0 low edge
+        hi_blk = (off + 96 + nz.max()) // 128 + 1       # phase 3 high edge
         gph = []
         for p in range(4):
-            kp = np.pad(h_rev[rows], ((0, 0), (16 + 32 * p, 192 - 32 * p)))
+            kp = np.pad(h_rev[rows], ((0, 0), (off + 32 * p, 127 - 32 * p)))
             kp = kp.reshape(len(rows), 13, 128)[:, lo_blk:hi_blk]
             gph.append(kp.transpose(1, 2, 0))
         group_kernels.append(fs(np.concatenate(gph, axis=-1)))
@@ -240,10 +247,18 @@ def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray, state=None,
 def dc_reject(x: jnp.ndarray, state=None, return_state: bool = False):
     """DC-rejection cascade; src/fbearmodel.c:291-303.  x: [..., T].
 
-    `state` (streaming) = (x_tail, u1, y1_tail, u2) with x_tail/y1_tail the
-    previous two inputs of each stage's feedforward and u1/u2 each stage's
-    REAL [..., 2] recurrence carry (see _biquad_feedback — the state
-    crosses the jit boundary, which must stay complex-free on this
+    The stage structure ff1 -> poles1 -> ff2 -> poles2 is numerically
+    LOAD-BEARING: commuting both (1 - z^-1)^2 feedforwards to the front
+    (one 5-tap pass, algebraically identical) lets the four near-unit
+    pole recurrences compound their ~833x-per-pole DC amplification on
+    the feedforward's rounding noise — measured 2.9e-7 relative error in
+    f64 vs the serial reference (the interleaved ff2 kills the DC noise
+    poles1 amplified).  Keep the interleaving.
+
+    `state` (streaming) = (x_tail, u1, y1_tail, u2) with x_tail/y1_tail
+    the previous two inputs of each stage's feedforward and u1/u2 each
+    stage's REAL [..., 2] recurrence carry (see _biquad_feedback — the
+    state crosses the jit boundary, which must stay complex-free on this
     backend).
     """
     def ff(u, tail):
@@ -273,11 +288,12 @@ def filter_bank(k: FBEarConsts, hp2: jnp.ndarray, history=None,
 
     hp2: [..., T] DC-filtered signal (T divisible by 32).  Output evaluated
     at every 32nd sample: fb(t)[band] = sum_lag h[band, lag] x[t-lag],
-    lag in [0, 1455].  `history`: [..., 1455] previous samples (streaming);
-    zeros when None.  Returns (re, im): [..., I, 40] with I = T / 32.
+    lag in [0, 1455].  `history`: [..., _HIST_LEN=1536] previous samples
+    (streaming; the leading 81 are never read — see _KERNEL_OFF); zeros
+    when None.  Returns (re, im): [..., I, 40] with I = T / 32.
 
-    Implementation: with z[j] = x[j - 1471] and kpad[:, s] = h[1471 - s]
-    (zero above lag 1455), out[i] = sum_s kpad[:, s] z[32i + s] — an
+    Implementation: with z[j] = x[j - 1536] and kpad[:, s] = h[1536 - s]
+    (zero outside lag [0, 1455]), out[i] = sum_s kpad[:, s] z[32i + s] — an
     aligned stride-32 correlation.  It is evaluated PHASE-SPLIT: for
     i = 4t + p, 32i = 128t + 32p, so reshaping z into 128-sample blocks
     turns each phase p into a stride-1 conv over the block axis with a
@@ -291,10 +307,10 @@ def filter_bank(k: FBEarConsts, hp2: jnp.ndarray, history=None,
     stack+slice interleave pass was ~12% of the advanced device time.
     """
     dtype = hp2.dtype
-    blocks, n_inst, ti, lead = _blocks_for_conv(hp2, history)
+    blocks, front, n_inst, ti, lead = _blocks_for_conv(hp2, history)
     n = blocks.shape[0]
     o = jax.lax.conv_general_dilated(
-        blocks, k.h_phase, window_strides=(1,), padding="VALID",
+        blocks, k.h_phase, window_strides=(1,), padding=((front, 1),),
         dimension_numbers=("NHC", "HIO", "NHC"),
         preferred_element_type=dtype,
         precision=k.conv_precision)          # [n, ti + 1, 320]
@@ -309,22 +325,38 @@ def filter_bank(k: FBEarConsts, hp2: jnp.ndarray, history=None,
 
 def _blocks_for_conv(hp2: jnp.ndarray, history):
     """Shared front half of the FIR-bank convs: history splice + the
-    [n, m, 128] block layout (see filter_bank).  Returns (blocks, n_inst,
-    ti, lead)."""
+    [n, m, 128] block layout (see filter_bank).  Returns
+    (blocks, front_blocks, n_inst, ti, lead) where `front_blocks` is the
+    number of leading zero 128-blocks STILL OWED — supplied through the
+    convolution's own spatial padding instead of a data pad (a lane-exact
+    pad/copy pass over the sample stream was ~3 ms/iter); the 13-block
+    tail window is likewise conv padding.
+
+    `history` is the previous _HIST_LEN (1536) samples — 12 aligned
+    128-blocks, so the splice never shifts the stream within lanes (the
+    kernels carry the _KERNEL_OFF leading zeros); zeros (via conv
+    padding) when None.  T must be a multiple of 128 (true for every
+    host-prepared bucket: FB frame counts are even)."""
     lead = hp2.shape[:-1]
     t = hp2.shape[-1]
     n_inst = t // C.FB_SUBSAMPLING
-    if history is not None:
-        base = jnp.concatenate([history, hp2], axis=-1)  # [..., T+1455]
-    else:
-        base = jnp.pad(hp2.reshape(-1, t),
-                       ((0, 0), (C.FB_BUFFER_LENGTH - 1, 0)))
-        base = base.reshape(*lead, t + C.FB_BUFFER_LENGTH - 1)
-    z = base.reshape(-1, base.shape[-1])
     ti = -(-n_inst // 4)
-    m = ti + 13
-    z = jnp.pad(z, ((0, 0), (16, m * 128 - 16 - z.shape[-1])))
-    return z.reshape(z.shape[0], m, 128), n_inst, ti, lead
+    if history is not None:
+        base = jnp.concatenate([history, hp2], axis=-1)  # [..., 1536+T]
+        front = 0
+    else:
+        base = hp2
+        front = _HIST_LEN // 128                         # 12
+    total = base.shape[-1]
+    pad = (-total) % 128
+    if pad:
+        # only reached for ad-hoc (test-sized) inputs: every host-prepared
+        # bucket has an even FB frame count, so T is already 128-aligned
+        base = jnp.concatenate(
+            [base, jnp.zeros((*base.shape[:-1], pad), base.dtype)], axis=-1)
+        total += pad
+    z = base.reshape(-1, total // 128, 128)
+    return z, front, n_inst, ti, lead
 
 
 def filter_bank_t(k: FBEarConsts, hp2: jnp.ndarray, history=None):
@@ -343,23 +375,36 @@ def filter_bank_t(k: FBEarConsts, hp2: jnp.ndarray, history=None):
     interleaved layout; the transposed layout removes that tax).
     """
     dtype = hp2.dtype
-    blocks, n_inst, ti, lead = _blocks_for_conv(hp2, history)
+    blocks, front, n_inst, ti, lead = _blocks_for_conv(hp2, history)
     n = blocks.shape[0]
     res, ims = [], []
-    for (lo, hi), kern in zip(k.group_blocks, k.h_group_kernels):
-        o = jax.lax.conv_general_dilated(
-            blocks[:, lo:], kern, window_strides=(1,), padding="VALID",
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=dtype,
-            precision=k.conv_precision)        # [n, m - lo - w + 1, 8|G|]
-        g2 = kern.shape[-1] // 4               # 2 * |G|
-        og = o[:, :ti].reshape(n, ti, 4, g2)
+    for og in _conv_group_outputs(k, blocks, front, ti):
+        g2 = og.shape[-1] // 4                 # 2 * |G|
+        og = og[:, :ti].reshape(n, ti, 4, g2)
         og = jnp.moveaxis(og, -1, -3).reshape(n, g2, 4 * ti)[..., :n_inst]
         res.append(og[:, :g2 // 2])
         ims.append(og[:, g2 // 2:])
     re = jnp.concatenate(res, axis=-2).reshape(*lead, 40, n_inst)
     im = jnp.concatenate(ims, axis=-2).reshape(*lead, 40, n_inst)
     return re, im
+
+
+def _conv_group_outputs(k: FBEarConsts, blocks, front: int, ti: int):
+    """The three window-split group convs on the raw [n, m0, 128] block
+    stream.  Group g's taps live in absolute blocks [lo, hi) of the
+    12-front-padded stream; the front zeros are supplied as conv spatial
+    padding (or sliced off when the history splice already contains them),
+    so no data pad pass ever runs.  Yields [n, >=ti, 8|G|] arrays whose
+    row t is output instant group t (phases on channels)."""
+    for (lo, hi), kern in zip(k.group_blocks, k.h_group_kernels):
+        shift = lo - front
+        src = blocks[:, shift:] if shift > 0 else blocks
+        pl = -shift if shift < 0 else 0
+        yield jax.lax.conv_general_dilated(
+            src, kern, window_strides=(1,), padding=((pl, hi - lo),),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=blocks.dtype,
+            precision=k.conv_precision)
 
 
 def _slope_inputs(k: FBEarConsts, fb_re, fb_im):
@@ -433,6 +478,11 @@ def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
     return e0
 
 
+# Pallas spread kernel dispatch: None = auto (TPU backend + float32),
+# True/False = force (tests force True with interpret on CPU)
+USE_PALLAS_SPREAD = None
+
+
 def spread_t(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
              cu_state=None, return_state: bool = False):
     """spread() on the TRANSPOSED layout [..., Z, I] (bands on sublanes,
@@ -444,6 +494,8 @@ def spread_t(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
     The slope-filter recurrence also becomes natively instants-last (no
     moveaxis, no phase decomposition), and the banded forward-masking
     recurrence downstream wants exactly this [Z, T] layout.
+    In the float32 tier on TPU the upper+lower spreading runs as the
+    VMEM-resident shift-multiply Pallas kernel (ops/pallas_fb.py).
     Returns E0 [..., Z, I] (+ cu state [..., Z] at the last instant).
     """
     level = 10.0 * jnp.log10(fb_re * fb_re + fb_im * fb_im)
@@ -452,8 +504,20 @@ def spread_t(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
     decay = C.SLOPE_FILTER_A if k.swap_slope else 1.0 - C.SLOPE_FILTER_A
     cu = iir.linear_recurrence_blocked(
         decay, (1.0 - decay) * dist_s, y0=cu_state)      # [.., Z, I]
-    Z = k.band_count
     dtype = fb_re.dtype
+    use_pallas = USE_PALLAS_SPREAD
+    if use_pallas is None:
+        use_pallas = (dtype == jnp.float32
+                      and jax.default_backend() == "tpu")
+    if use_pallas:
+        from . import pallas_fb
+        e0 = pallas_fb.spread_apply(
+            fb_re, fb_im, cu, k.lower_matrix.astype(jnp.float32),
+            interpret=jax.default_backend() != "tpu")
+        if return_state:
+            return e0, cu[..., -1]
+        return e0
+    Z = k.band_count
     # see _spread_core for the block-size and separate-re/im rationale
     block = Z if dtype == jnp.float32 else 8
     i_idx = np.arange(Z)
@@ -523,6 +587,51 @@ def back_and_forward_masking_t(k: FBEarConsts, e0: jnp.ndarray,
     return excitation, unsmeared
 
 
+def _spread_fused(k: FBEarConsts, hp2: jnp.ndarray, hp2_hist, cu_state):
+    """Raw group convs -> dist_s in the conv layout -> slope recurrence ->
+    Pallas spread_from_conv.  Only the slope drive is ever transposed to
+    the [Z, I] layout in XLA (one array instead of fb_re + fb_im), and the
+    fb de-interleave happens on VMEM tiles inside the kernel.
+    Returns (e0 [.., Z, I], cu_last [.., Z])."""
+    from . import pallas_fb
+    blocks, front, n_inst, ti, lead = _blocks_for_conv(hp2, hp2_hist)
+    outs = list(_conv_group_outputs(k, blocks, front, ti))
+    n = blocks.shape[0]
+    # slope drive in the conv layout (fuses into the conv epilogues)
+    dist_parts = []
+    for og, (b0, b1) in zip(outs, _CONV_GROUPS):
+        g = b1 - b0
+        o4 = og[:, :ti].reshape(n, ti, 4, 2 * g)
+        level = 10.0 * jnp.log10(o4[..., :g] ** 2 + o4[..., g:] ** 2)
+        s = jnp.maximum(4.0, 24.0 + 230.0 / k.fc[b0:b1] - 0.2 * level)
+        dist_parts.append(C.DIST ** s)           # [n, ti, 4, g]
+    dist = jnp.concatenate(dist_parts, axis=-1)  # [n, ti, 4, Z]
+    dist_ps = jnp.transpose(dist, (0, 3, 2, 1))  # [n, Z, 4, ti] phase-split
+    a = C.SLOPE_FILTER_A if k.swap_slope else 1.0 - C.SLOPE_FILTER_A
+    cu0 = (jnp.zeros((n, k.band_count), dist.dtype) if cu_state is None
+           else jnp.asarray(cu_state).reshape(n, k.band_count))
+    # slope smoother natively PHASE-SPLIT: y[4t+p] = a y[4t+p-1] + b[4t+p]
+    # decomposes into Horner intra-phase prefixes c_p and ONE quarter-rate
+    # recurrence z[t] = y[4t+3] = a^4 z[t-1] + c_3[t] — 4x less recurrence
+    # work and no [Z, I] <-> phase-split transpose passes
+    b = (1.0 - a) * dist_ps
+    c0 = b[:, :, 0]
+    c1 = a * c0 + b[:, :, 1]
+    c2 = a * c1 + b[:, :, 2]
+    c3 = a * c2 + b[:, :, 3]
+    z = iir.linear_recurrence_blocked(a ** 4, c3, y0=cu0)
+    zprev = jnp.concatenate([cu0[..., None], z[..., :-1]], axis=-1)
+    cu_p = (a * zprev + c0, a * a * zprev + c1,
+            a ** 3 * zprev + c2, z)              # each [n, Z, ti]
+    e0_ps = pallas_fb.spread_from_conv(
+        outs[0], outs[1], outs[2], cu_p,
+        k.lower_matrix.astype(jnp.float32), n_inst,
+        interpret=jax.default_backend() != "tpu")   # [n, Z, 4, ti]
+    e0 = jnp.swapaxes(e0_ps, -1, -2).reshape(n, k.band_count, n_inst)
+    return (e0.reshape(*lead, k.band_count, n_inst),
+            z[..., -1].reshape(*lead, k.band_count))
+
+
 def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
                    state=None, return_state: bool = False):
     """Whole-signal / chunked FB ear model.  signal: [..., T] with
@@ -536,23 +645,34 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
     bdtype = k.internal_noise.dtype
     hp2, dc_new = dc_reject(
         signal.astype(k.level_factor.dtype) * k.level_factor, dc_state, True)
-    # grouped conv directly into the transposed band-major layout
-    # [.., 40, I] (instant 4t + p on lanes); the whole band-domain chain
-    # then runs bands-on-sublanes with no 40->128 lane padding
-    fb_re, fb_im = filter_bank_t(k, hp2, history=hp2_hist)
-    e0, cu_new = spread_t(
-        k, fb_re.astype(bdtype), fb_im.astype(bdtype),
-        cu_state, True)                          # [.., 40, I]
+    n_inst_sig = hp2.shape[-1] // C.FB_SUBSAMPLING
+    use_fused = USE_PALLAS_SPREAD
+    if use_fused is None:
+        use_fused = (jnp.dtype(bdtype) == jnp.float32
+                     and jax.default_backend() == "tpu")
+    if use_fused and n_inst_sig % 1536 == 0:  # pallas_fb.TILE_CONV
+        # fused path: raw group convs -> slope state in the conv layout
+        # (one transpose of dist_s instead of re+im) -> Pallas kernel that
+        # de-interleaves on VMEM tiles and spreads (ops/pallas_fb.py)
+        e0, cu_new = _spread_fused(k, hp2, hp2_hist, cu_state)
+    else:
+        # grouped conv into the transposed band-major layout [.., 40, I]
+        # (instant 4t + p on lanes); the band-domain chain then runs
+        # bands-on-sublanes with no 40->128 lane padding
+        fb_re, fb_im = filter_bank_t(k, hp2, history=hp2_hist)
+        e0, cu_new = spread_t(
+            k, fb_re.astype(bdtype), fb_im.astype(bdtype),
+            cu_state, True)                      # [.., 40, I]
     exc_t, uns_t, mask_new = back_and_forward_masking_t(
         k, e0, n_frames, mask_state, True)
     exc = jnp.moveaxis(exc_t, -1, -2)            # [.., F, 40]
     uns = jnp.moveaxis(uns_t, -1, -2)
     if return_state:
-        hist = (jnp.concatenate([hp2_hist, hp2], -1)[..., -1455:]
+        hist = (jnp.concatenate([hp2_hist, hp2], -1)[..., -_HIST_LEN:]
                 if hp2_hist is not None else
                 jnp.concatenate(
-                    [jnp.zeros((*hp2.shape[:-1], C.FB_BUFFER_LENGTH - 1),
-                               hp2.dtype), hp2], -1)[..., -1455:])
+                    [jnp.zeros((*hp2.shape[:-1], _HIST_LEN),
+                               hp2.dtype), hp2], -1)[..., -_HIST_LEN:])
         return exc, uns, (dc_new, hist, cu_new, mask_new)
     return exc, uns
 

@@ -41,33 +41,36 @@ def pad_signal(sig: np.ndarray, n_frames: int, frame_size: int,
 
 
 def frames_overlap50(sig: jnp.ndarray, n_frames: int) -> jnp.ndarray:
-    """[T, C] -> [F, C, 2048] frames with 50% overlap (FFT ear model).
+    """[CH, T] -> [F, CH, 2048] frames with 50% overlap (FFT ear model).
     T must equal (n_frames + 1) * 1024."""
     hop = C.FFT_STEPSIZE
-    t, ch = sig.shape
-    blocks = sig[:(n_frames + 1) * hop].reshape(n_frames + 1, hop, ch)
-    frames = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)  # [F,2048,C]
-    return jnp.moveaxis(frames, 2, 1)
+    ch = sig.shape[0]
+    blocks = sig[:, :(n_frames + 1) * hop].reshape(ch, n_frames + 1, hop)
+    frames = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=-1)
+    return jnp.moveaxis(frames, 0, 1)                  # [F, CH, 2048]
 
 
 def blocks_hop(sig: jnp.ndarray, n_frames: int) -> jnp.ndarray:
-    """[T, C] -> [F + 1, C, 1024] hop-sized blocks for the FFT ear model:
+    """[CH, T] -> [F + 1, CH, 1024] hop-sized blocks for the FFT ear model:
     frame f = blocks[f] | blocks[f + 1].  Keeping the 50%-overlap implicit
     (fft_ear.stateless_pair_hop contracts the two halves with split DFT
     matrices) avoids materializing the 2x-duplicated frame tensor — the
-    overlap copies were ~27% of the basic pipeline's device time."""
+    overlap copies were ~27% of the basic pipeline's device time.
+    Channel-major input keeps the 1024-sample minor axis contiguous: the
+    former [T, C] layout's 2-lane channel transpose was ~3 ms/iter of
+    gather in the advanced profile."""
     hop = C.FFT_STEPSIZE
-    t, ch = sig.shape
-    blocks = sig[:(n_frames + 1) * hop].reshape(n_frames + 1, hop, ch)
-    return jnp.moveaxis(blocks, 2, 1)
+    ch = sig.shape[0]
+    blocks = sig[:, :(n_frames + 1) * hop].reshape(ch, n_frames + 1, hop)
+    return jnp.moveaxis(blocks, 0, 1)                  # [F + 1, CH, 1024]
 
 
 def frames_disjoint(sig: jnp.ndarray, n_frames: int,
                     frame_size: int) -> jnp.ndarray:
-    """[T, C] -> [F, C, frame_size] non-overlapping frames (FB ear model)."""
-    t, ch = sig.shape
-    blocks = sig[:n_frames * frame_size].reshape(n_frames, frame_size, ch)
-    return jnp.moveaxis(blocks, 2, 1)
+    """[CH, T] -> [F, CH, frame_size] non-overlapping frames (FB model)."""
+    ch = sig.shape[0]
+    blocks = sig[:, :n_frames * frame_size].reshape(ch, n_frames, frame_size)
+    return jnp.moveaxis(blocks, 0, 1)
 
 
 def above_threshold_signal(sig: jnp.ndarray, n_frames: int, frame_size: int,
@@ -82,13 +85,14 @@ def above_threshold_signal(sig: jnp.ndarray, n_frames: int, frame_size: int,
     exact sliding sums here give identical decisions except for
     sub-1e-4-relative borderline cases.)
 
-    sig: [T, C] with T = (n_frames - 1) * step_size + frame_size and
+    sig: [CH, T] with T = (n_frames - 1) * step_size + frame_size and
     frame_size in {step_size, 2 * step_size}.  Returns bool [n_frames].
     """
-    t = sig.shape[0]
+    t = sig.shape[-1]
     a = jnp.abs(sig)
-    w = a[4:] + a[3:-1] + a[2:-2] + a[1:-3] + a[:-4]   # ends at j = 4..T-1
-    hit = jnp.any(w >= C.FRAME_THRESHOLD, axis=-1)     # [T-4]
+    w = (a[..., 4:] + a[..., 3:-1] + a[..., 2:-2] + a[..., 1:-3]
+         + a[..., :-4])                                # ends at j = 4..T-1
+    hit = jnp.any(w >= C.FRAME_THRESHOLD, axis=0)      # [T-4]
     g = jnp.concatenate([jnp.zeros(4, bool), hit])     # G[j], j = 0..T-1
     n_hops = t // step_size
     blocks = g[:n_hops * step_size].reshape(n_hops, step_size)

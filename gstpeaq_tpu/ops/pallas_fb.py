@@ -1,0 +1,190 @@
+"""Pallas TPU kernel for the FB ear model's frequency spreading.
+
+Replaces the XLA exp-form upper spreading (ops/fb_ear.spread_t's block
+loop + lower einsum + |A|^2) with one VMEM-resident kernel on the
+transposed [Z, I] layout (bands on sublanes, instants on lanes):
+
+* the level-dependent upper spreading U[b, j] = cu[b]^(j-b) (j > b) is
+  evaluated by 39 SHIFT-MULTIPLY steps — w_{e+1} = roll(w_e) * roll(cu, e+1)
+  with row 0 masked — instead of Z^2 transcendentals per instant
+  (exp(expo * log cu) costs ~10-15 VPU ops per cell; the shift chain ~6),
+* the constant lower spreading runs as an in-kernel [Z, Z] x [Z, TI] MXU
+  dot, and E0 = |A|^2 fuses into the same tile,
+* fb_re / fb_im / cu are each read from HBM exactly once and only E0 is
+  written — the XLA form re-materializes several [.., Z, I] intermediates.
+
+All cross-element interaction is along the band (sublane) axis, so
+out-of-range instant lanes of a ragged final tile stay self-contained and
+are dropped by the output clipping.
+
+A round-2 Pallas spread on the INTERLEAVED [I, 40] layout lost to XLA
+(40 bands padded to 128 lanes tripled the VPU work); this kernel exists
+because the transposed layout removed that padding.
+
+Reference: src/fbearmodel.c:326-360 (spreading + rectification).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Z = 40           # FB band count (BS.1387 Table 8)
+TILE_I = 512     # instants per grid step (lanes), spread_apply
+# spread_from_conv tile: must divide every production instant count AND
+# keep rows = TILE_CONV / 4 a multiple of 128 (Mosaic requires the last
+# block dim 128-divisible).  Host-side FB buckets are multiples of 256
+# frames (n_inst % 1536 == 0); a clamped ragged last tile would SHIFT the
+# conv-row window and misalign the de-interleave, so the wrapper falls
+# back to the XLA path when n_inst % TILE_CONV != 0.
+TILE_CONV = 1536
+
+
+def _shift_multiply_e0(fbr, fbi, cu, low):
+    """Upper spreading by 39 shift-multiply steps + in-kernel lower-matrix
+    MXU dot + |A|^2.  All inputs [Z, TI] (VMEM values), low [Z, Z]."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (Z, 1), 0)
+    not_row0 = row >= 1
+    acc_r = fbr
+    acc_i = fbi
+    w_r = fbr
+    w_i = fbi
+    rcu = cu
+    for _ in range(Z - 1):
+        rcu = pltpu.roll(rcu, 1, axis=0)
+        w_r = jnp.where(not_row0, pltpu.roll(w_r, 1, axis=0), 0.0) * rcu
+        w_i = jnp.where(not_row0, pltpu.roll(w_i, 1, axis=0), 0.0) * rcu
+        acc_r = acc_r + w_r
+        acc_i = acc_i + w_i
+    er = jax.lax.dot_general(low, acc_r, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ei = jax.lax.dot_general(low, acc_i, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return er * er + ei * ei
+
+
+def _spread_kernel(fbr_ref, fbi_ref, cu_ref, low_ref, out_ref):
+    out_ref[0] = _shift_multiply_e0(fbr_ref[0], fbi_ref[0], cu_ref[0],
+                                    low_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spread_apply(fb_re: jnp.ndarray, fb_im: jnp.ndarray, cu: jnp.ndarray,
+                 lower_matrix: jnp.ndarray, interpret: bool = False):
+    """E0 = |lower(fb + upper(fb, cu))|^2 on the [.., Z, I] layout.
+
+    fb_re/fb_im/cu: [..., Z, I] float32; lower_matrix: [Z, Z].
+    Returns E0 [..., Z, I] float32.
+    """
+    shape = fb_re.shape
+    assert shape[-2] == Z, shape
+    i_tot = shape[-1]
+    fbr = fb_re.reshape(-1, Z, i_tot)
+    fbi = fb_im.reshape(-1, Z, i_tot)
+    cuf = cu.reshape(-1, Z, i_tot)
+    n = fbr.shape[0]
+    grid = (n, pl.cdiv(i_tot, TILE_I))
+    blk = pl.BlockSpec((1, Z, TILE_I), lambda b, i: (b, 0, i),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _spread_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, Z, i_tot), jnp.float32),
+        grid=grid,
+        in_specs=[blk, blk, blk,
+                  pl.BlockSpec((Z, Z), lambda b, i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=blk,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(6 * Z + 4) * Z * i_tot * n,
+            bytes_accessed=4 * 4 * Z * i_tot * n,
+            transcendentals=0),
+    )(fbr, fbi, cuf, lower_matrix)
+    return out.reshape(shape)
+
+
+def _make_conv_kernel(group_sizes):
+    """Kernel over PHASE-MAJOR lane tiles: lane p * rows + t is instant
+    4 * (tile_t0 + t) + p.  The interleave to true time order would be a
+    lane-regroup reshape Mosaic cannot lower ("unsupported shape cast"),
+    so cu arrives phase-split from XLA (one cheap minor transpose of ONE
+    array) and E0 leaves phase-split the same way; only 2-d transposes,
+    static lane slices, and lane concats run in-kernel."""
+    def kernel(o1_ref, o2_ref, o3_ref, cu0_ref, cu1_ref, cu2_ref, cu3_ref,
+               low_ref, out_ref):
+        rows = TILE_CONV // 4
+        parts_re = []
+        parts_im = []
+        for ref, g in zip((o1_ref, o2_ref, o3_ref), group_sizes):
+            g2 = 2 * g
+            x = ref[0]                             # [rows, 4 * g2]
+            flat = jnp.concatenate(
+                [x[:, p * g2:(p + 1) * g2].T for p in range(4)],
+                axis=1)                            # [g2, 4 * rows]
+            parts_re.append(flat[:g])
+            parts_im.append(flat[g:])
+        fbr = jnp.concatenate(parts_re, axis=0)    # [Z, TILE_CONV]
+        fbi = jnp.concatenate(parts_im, axis=0)
+        cu = jnp.concatenate(
+            [r[0] for r in (cu0_ref, cu1_ref, cu2_ref, cu3_ref)], axis=1)
+        e0 = _shift_multiply_e0(fbr, fbi, cu, low_ref[:])
+        for p in range(4):
+            out_ref[0, :, p, :] = e0[:, p * rows:(p + 1) * rows]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_inst", "interpret"))
+def spread_from_conv(o1, o2, o3, cu_phases, lower_matrix, n_inst: int,
+                     interpret: bool = False):
+    """E0 from the three RAW group-conv outputs — the de-interleave to the
+    [Z, I] band-major layout happens on VMEM tiles inside the kernel, so
+    the XLA transpose passes (the former regroup, ~6 ms/iter) never touch
+    HBM.  Conv output row t holds instants 4t..4t+3 on channels
+    p * 2|G| + [re bands | im bands].
+
+    o1/o2/o3: [..., t_out_g, 8 * |G|] with |G| = (16, 16, 8);
+    cu_phases: 4-tuple of [..., Z, ti] phase-split slope states
+    (cu_phases[p][.., t] = cu at instant 4t + p — born phase-split from
+    the quarter-rate recurrence, no transpose pass);
+    Returns E0 [..., Z, 4, ti] PHASE-SPLIT (caller interleaves).
+    Requires n_inst % TILE_CONV == 0 (see TILE_CONV).
+    """
+    assert n_inst % TILE_CONV == 0, n_inst
+    cu0 = cu_phases[0]
+    lead = cu0.shape[:-2]
+    ti = n_inst // 4
+    n = int(np.prod(lead)) if lead else 1
+    cus = [c.reshape(n, Z, ti) for c in cu_phases]
+    group_sizes = (o1.shape[-1] // 8, o2.shape[-1] // 8, o3.shape[-1] // 8)
+    os_ = [o.reshape(n, o.shape[-2], o.shape[-1]) for o in (o1, o2, o3)]
+    rows = TILE_CONV // 4
+    grid = (n, n_inst // TILE_CONV)
+    # index maps are in BLOCK units: block i covers rows [i*rows, (i+1)*rows)
+    o_specs = [
+        pl.BlockSpec((1, rows, 8 * g), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM)
+        for g in group_sizes]
+    cu_spec = pl.BlockSpec((1, Z, rows), lambda b, i: (b, 0, i),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, Z, 4, rows), lambda b, i: (b, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_conv_kernel(group_sizes),
+        out_shape=jax.ShapeDtypeStruct((n, Z, 4, ti), jnp.float32),
+        grid=grid,
+        in_specs=o_specs + [cu_spec] * 4
+        + [pl.BlockSpec((Z, Z), lambda b, i: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=out_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(6 * Z + 8) * Z * n_inst * n,
+            bytes_accessed=4 * 4 * Z * n_inst * n,
+            transcendentals=0),
+    )(*os_, *cus, lower_matrix)
+    return out.reshape(*lead, Z, 4, ti)

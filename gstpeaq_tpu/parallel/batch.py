@@ -53,13 +53,14 @@ def _pad_pairwise(refs, tests, n_bucket, frame_size, step_size):
     """Truncate each pair at its *own* flush-frame boundary (audio past the
     flush frame is dropped by the reference, src/gstpeaq.c:715-745), then
     zero-extend to the bucket frame count — the padding frames are silent and
-    thus auto-masked by the tentative accumulator semantics."""
+    thus auto-masked by the tentative accumulator semantics.  Output is
+    CHANNEL-MAJOR [B, CH, T] (the device layout)."""
     length = framing.padded_length(n_bucket, frame_size, step_size)
 
     def prep(sig, own_frames):
         own = framing.pad_signal(sig, own_frames, frame_size, step_size)
-        out = np.zeros((length, sig.shape[1]), dtype=np.float32)
-        out[:own.shape[0]] = own
+        out = np.zeros((sig.shape[1], length), dtype=np.float32)
+        out[:, :own.shape[0]] = own.T
         return out
 
     out_r, out_t, valids = [], [], []
@@ -77,7 +78,7 @@ def prepare_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
                   advanced: bool = False, granularity: int = 64):
     """Pad a list of [T, C] float32 pairs into stacked batch arrays.
 
-    Returns (ref_fft, test_fft[, ref_fb, test_fb]) stacked [B, T, C]."""
+    Returns (ref_fft, test_fft[, ref_fb, test_fb]) stacked [B, CH, T]."""
     n_fft = max(framing.num_frames(r.shape[0], t.shape[0],
                                    C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
                 for r, t in zip(refs, tests))
@@ -89,7 +90,14 @@ def prepare_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
     n_fb = max(framing.num_frames(r.shape[0], t.shape[0],
                                   C.FB_FRAMESIZE, C.FB_FRAMESIZE)
                for r, t in zip(refs, tests))
-    n_fb = bucket_frames(n_fb, granularity * 6)
+    # lcm with 256: FB frame buckets must satisfy n_inst % 1536 == 0 for
+    # the fused Pallas spread (ops/pallas_fb.TILE_CONV).  Tiny (test)
+    # granularities keep their natural bucket — the spread then takes the
+    # XLA fallback path, which is bit-compatible
+    g_fb = granularity * 6
+    if granularity >= 32 and g_fb % 256:
+        g_fb = -(-g_fb // 256) * 256       # round the grid itself up
+    n_fb = bucket_frames(n_fb, g_fb)
     ref_fb, test_fb, valid_fb = _pad_pairwise(
         refs, tests, n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
     return ref_fft, test_fft, ref_fb, test_fb, valid_fft, valid_fb

@@ -31,7 +31,14 @@ from .. import constants as C
 # Bump whenever the carried state pytree changes shape or meaning.
 #   2: complex biquad carries became real [..., 2] pairs; FB e0 tail
 #      transposed [CH, 10, Z] -> [CH, Z, 10] (round 2)
-STATE_FORMAT_VERSION = 2
+#   3: FB conv history grew 1455 -> 1536 samples (12 aligned 128-blocks;
+#      the kernels carry the offset, see ops/fb_ear._KERNEL_OFF)
+STATE_FORMAT_VERSION = 3
+
+
+def _cm(x: np.ndarray) -> np.ndarray:
+    """Host [T, CH] -> contiguous channel-major [CH, T] (device layout)."""
+    return np.ascontiguousarray(x.T)
 
 
 # ---------------------------------------------------------------------------
@@ -84,9 +91,10 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         }
 
     def chunk_step(consts, state, ref_sig, test_sig):
-        """Process one chunk.  ref/test_sig: [(Fc+1)*1024, CH] float32."""
+        """Process one chunk.  ref/test_sig: [CH, (Fc+1)*1024] float32
+        (channel-major, the device layout)."""
         k, avg_matrix = consts
-        n_frames = ref_sig.shape[0] // C.FFT_STEPSIZE - 1
+        n_frames = ref_sig.shape[-1] // C.FFT_STEPSIZE - 1
         ref_blocks = framing.blocks_hop(ref_sig, n_frames)
         test_blocks = framing.blocks_hop(test_sig, n_frames)
         above = framing.above_threshold_signal(
@@ -309,7 +317,7 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
             # transfer complex arrays)
             dc = (f(channels, 2), f(channels, 2),
                   f(channels, 2), f(channels, 2))
-            return (dc, f(channels, C.FB_BUFFER_LENGTH - 1),
+            return (dc, f(channels, FB._HIST_LEN),
                     f(channels, C.FB_BAND_COUNT),
                     (f(channels, C.FB_BAND_COUNT, 10),   # e0 tail, [Z, I]
                      f(channels, C.FB_BAND_COUNT)))
@@ -359,9 +367,9 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
 
     def fft_chunk_step(consts, state, ref_sig, test_sig):
         """FFT path chunk: SegmentalNMR + EHS.
-        ref/test_sig: [(Fc+1)*1024, CH]."""
+        ref/test_sig: [CH, (Fc+1)*1024] channel-major."""
         kf, kb, avg_matrix = consts
-        n_frames = ref_sig.shape[0] // C.FFT_STEPSIZE - 1
+        n_frames = ref_sig.shape[-1] // C.FFT_STEPSIZE - 1
         ref_blocks = framing.blocks_hop(ref_sig, n_frames)
         test_blocks = framing.blocks_hop(test_sig, n_frames)
         above = framing.above_threshold_signal(
@@ -406,16 +414,16 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
 
     def fb_chunk_step(consts, state, ref_sig, test_sig):
         """FB path chunk: RmsModDiffA / RmsNoiseLoudAsymA / AvgLinDistA.
-        ref/test_sig: [Fc*192, CH]."""
+        ref/test_sig: [CH, Fc*192] channel-major."""
         kf, kb, avg_matrix = consts
-        n_fb = ref_sig.shape[0] // C.FB_FRAMESIZE
+        n_fb = ref_sig.shape[-1] // C.FB_FRAMESIZE
         above = framing.above_threshold_signal(
             ref_sig.astype(sdtype), n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
         ref_e, ref_u, fb_ref_new = FB.process_signal(
-            kb, jnp.moveaxis(ref_sig.astype(sdtype), 1, 0), n_fb,
+            kb, ref_sig.astype(sdtype), n_fb,
             state["fb_ref"], True)
         test_e, test_u, fb_test_new = FB.process_signal(
-            kb, jnp.moveaxis(test_sig.astype(sdtype), 1, 0), n_fb,
+            kb, test_sig.astype(sdtype), n_fb,
             state["fb_test"], True)
         ref_e = jnp.moveaxis(ref_e, -2, 0)
         ref_u = jnp.moveaxis(ref_u, -2, 0)
@@ -571,7 +579,7 @@ class PeaqStream:
             take = self._chunk_samples + C.FFT_STEPSIZE
             r = self._buf_ref[:take]
             t = self._buf_test[:take]
-            self.state = self._step(self.state, r, t)
+            self.state = self._step(self.state, _cm(r), _cm(t))
             # keep the trailing step for the next chunk's first frame overlap
             self._buf_ref = self._buf_ref[self._chunk_samples:]
             self._buf_test = self._buf_test[self._chunk_samples:]
@@ -595,7 +603,7 @@ class PeaqStream:
                                        C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
                 t = framing.pad_signal(self._buf_test, n_rest,
                                        C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
-                self.state = self._step(self.state, r, t)
+                self.state = self._step(self.state, _cm(r), _cm(t))
             self._buf_ref = self._buf_ref[:0]
             self._buf_test = self._buf_test[:0]
             self._finalized = True
@@ -645,14 +653,14 @@ class PeaqStreamAdvanced:
         need = self._fft_chunk + C.FFT_STEPSIZE
         while min(b.shape[0] for b in self._fft_buf) >= need:
             self.state = self._fft_step(self.state,
-                                        self._fft_buf[0][:need],
-                                        self._fft_buf[1][:need])
+                                        _cm(self._fft_buf[0][:need]),
+                                        _cm(self._fft_buf[1][:need]))
             self._fft_buf = [b[self._fft_chunk:] for b in self._fft_buf]
         need_fb = self._fb_frames * C.FB_FRAMESIZE
         while min(b.shape[0] for b in self._fb_buf) >= need_fb:
             self.state = self._fb_step(self.state,
-                                       self._fb_buf[0][:need_fb],
-                                       self._fb_buf[1][:need_fb])
+                                       _cm(self._fb_buf[0][:need_fb]),
+                                       _cm(self._fb_buf[1][:need_fb]))
             self._fb_buf = [b[need_fb:] for b in self._fb_buf]
 
     def current(self) -> StreamResult:
@@ -673,7 +681,7 @@ class PeaqStreamAdvanced:
                                        C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
                 t = framing.pad_signal(self._fft_buf[1], n_fft,
                                        C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
-                self.state = self._fft_step(self.state, r, t)
+                self.state = self._fft_step(self.state, _cm(r), _cm(t))
             n_fb = framing.num_frames(
                 self._fb_buf[0].shape[0], self._fb_buf[1].shape[0],
                 C.FB_FRAMESIZE, C.FB_FRAMESIZE)
@@ -682,7 +690,7 @@ class PeaqStreamAdvanced:
                                        C.FB_FRAMESIZE, C.FB_FRAMESIZE)
                 t = framing.pad_signal(self._fb_buf[1], n_fb,
                                        C.FB_FRAMESIZE, C.FB_FRAMESIZE)
-                self.state = self._fb_step(self.state, r, t)
+                self.state = self._fb_step(self.state, _cm(r), _cm(t))
             z = np.zeros((0, self._channels), np.float32)
             self._fft_buf = [z, z.copy()]
             self._fb_buf = [z.copy(), z.copy()]

@@ -75,22 +75,26 @@ def main():
         data, _ = r2t.xspace_to_tool_data([path], "hlo_stats", {})
         if isinstance(data, bytes):
             data = data.decode()
-        table = json.loads(data)[0]
+        table = json.loads(data)
         ids = [c["id"] for c in table["cols"]]
         rows = []
         for row in table["rows"]:
             rec = {i: (cell or {}).get("v") for i, cell in zip(ids, row["c"])}
             rows.append(rec)
-        key_time = next((i for i in ids if "total_self_time" in i), None)
-        rows.sort(key=lambda r: -float(r.get(key_time) or 0.0))
-        total = sum(float(r.get(key_time) or 0.0) for r in rows)
-        print(f"# hlo_stats: total {total / 1e3:.1f} ms over 2 iters; "
-              f"cols={ids}")
+        rows.sort(key=lambda r: -float(r.get("total_self_time") or 0.0))
+        total = sum(float(r.get("total_self_time") or 0.0) for r in rows)
+        print(f"# hlo_stats: total {total / 1e3:.1f} ms over 2 iters")
         for r in rows[:args.top]:
-            t = float(r.get(key_time) or 0.0)
-            print(f"{t / 1e3:9.2f} {100 * t / total:5.1f}  "
-                  f"{r.get('hlo_op_expression', r.get('hlo_op_name', ''))[:90]}"
-                  f"  @{r.get('source_info', '')}")
+            t = float(r.get("total_self_time") or 0.0)
+            expr = (r.get("hlo_op_expression") or "")
+            head = expr.split(" = ")
+            shape = head[1].split(" ")[0] if len(head) > 1 else expr[:40]
+            src = (r.get("source_info") or "")
+            if "repo" in src:  # strip the html wrapper around the path
+                src = src[src.rindex("repo") + 4:].rstrip("</div>")
+            print(f"{t / 1e3:9.2f} {100 * t / total:5.1f} "
+                  f"{(r.get('category') or '')[:14]:14s} "
+                  f"{(r.get('bound_by') or ''):8s} {shape[:44]:44s} {src}")
         return
     data, _ = r2t.xspace_to_tool_data([path], "framework_op_stats", {})
     if isinstance(data, bytes):
