@@ -92,12 +92,14 @@ def above_threshold_signal(sig: jnp.ndarray, n_frames: int, frame_size: int,
     a = jnp.abs(sig)
     w = (a[..., 4:] + a[..., 3:-1] + a[..., 2:-2] + a[..., 1:-3]
          + a[..., :-4])                                # ends at j = 4..T-1
-    hit = jnp.any(w >= C.FRAME_THRESHOLD, axis=0)      # [T-4]
-    g = jnp.concatenate([jnp.zeros(4, bool), hit])     # G[j], j = 0..T-1
+    # stay in f32 maxes until the per-frame compare: materializing the
+    # sample-rate bool vector costs packed-pred VMEM traffic (~1 ms/iter)
+    m = jnp.max(w, axis=0)                             # [T-4]
+    g = jnp.concatenate([jnp.zeros(4, m.dtype), m])    # G[j], j = 0..T-1
     n_hops = t // step_size
     blocks = g[:n_hops * step_size].reshape(n_hops, step_size)
-    tail_any = jnp.any(blocks[:, 5:], axis=1)          # hop positions >= 5
+    tail_any = jnp.max(blocks[:, 5:], axis=1) >= C.FRAME_THRESHOLD
     if frame_size == step_size:
         return tail_any[:n_frames]
-    full_any = jnp.any(blocks, axis=1)
+    full_any = jnp.max(blocks, axis=1) >= C.FRAME_THRESHOLD
     return tail_any[:n_frames] | full_any[1:n_frames + 1]
