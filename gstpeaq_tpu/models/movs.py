@@ -158,13 +158,18 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
     MXU matmuls instead of VPU FFTs (~2x faster stage on TPU, same math).
 
     `delta_weighted` (optional): accurately-cancelled wr - wt from
-    fft_ear.stateless_pair_hop.  The log-spectral difference then evaluates
-    as d = log1p(-(wr - wt) / wr) — algebraically log(wt / wr), but exact
-    zero for identical signals and accurate to the distortion scale for
-    near-transparent pairs.  Without it, f32 spectra make d pure rounding
-    noise (~2^-23: TPU's x/x is not exactly 1) whose NORMALIZED
-    autocorrelation is O(1) — EHS has no amplitude scale, so eps-level d
-    noise produced O(0.1) EHS (ODG drift ~3e-3 on an identical pair).
+    fft_ear.stateless_pair_hop.  For bins where the distortion is small
+    (|wr - wt| <= wr / 2) the log-spectral difference evaluates as
+    d = log1p(-(wr - wt) / wr) — algebraically log(wt / wr), but exact
+    zero for identical signals and accurate to the distortion scale
+    (without it, f32 spectra make d pure rounding noise — ~2^-23, TPU's
+    x/x is not exactly 1 — whose NORMALIZED autocorrelation is O(1):
+    EHS has no amplitude scale, so eps noise produced O(0.1) EHS).  For
+    bins the codec largely REMOVED (wt << wr) the delta form is the
+    catastrophic one — wt reconstructs as wr - dl with absolute error
+    eps * wr, i.e. O(1) error in d (corpus v2's MDCT items drove EHS 3x
+    wrong) — so those bins use the direct log(wt / wr), whose own f32
+    error is ~eps.  The two branches agree to ~eps at the 0.5 crossover.
     """
     n = C.MAXLAG
     valid = jnp.any(ref_thresh | test_thresh, axis=-1)
@@ -172,7 +177,12 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
     tw = test_weighted[..., :2 * n]
     if delta_weighted is not None:
         dl = delta_weighted[..., :2 * n]
-        d = jnp.where((rw == 0.0) & (tw == 0.0), 0.0, jnp.log1p(-dl / rw))
+        ratio = dl / rw
+        tw_safe = jnp.where(tw > 0.0, tw, 1.0)
+        d = jnp.where(jnp.abs(ratio) <= 0.5,
+                      jnp.log1p(-ratio),
+                      jnp.where(tw > 0.0, jnp.log(tw_safe / rw), -jnp.inf))
+        d = jnp.where((rw == 0.0) & (tw == 0.0), 0.0, d)
     else:
         d = jnp.where((rw == 0.0) & (tw == 0.0), 0.0, jnp.log(tw / rw))
     # c[i] = sum_{k<256} d[k] d[k+i], via frequency domain like the reference

@@ -74,19 +74,15 @@ def _pad_pairwise(refs, tests, n_bucket, frame_size, step_size):
             np.asarray(valids, dtype=np.int32))
 
 
-def prepare_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
-                  advanced: bool = False, granularity: int = 64):
-    """Pad a list of [T, C] float32 pairs into stacked batch arrays.
-
-    Returns (ref_fft, test_fft[, ref_fb, test_fb]) stacked [B, CH, T]."""
+def compute_buckets(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
+                    advanced: bool = False, granularity: int = 64):
+    """Shared bucket frame counts (n_fft[, n_fb]) for a set of pairs."""
     n_fft = max(framing.num_frames(r.shape[0], t.shape[0],
                                    C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
                 for r, t in zip(refs, tests))
     n_fft = bucket_frames(n_fft, granularity)
-    ref_fft, test_fft, valid_fft = _pad_pairwise(
-        refs, tests, n_fft, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
     if not advanced:
-        return ref_fft, test_fft, valid_fft
+        return (n_fft,)
     n_fb = max(framing.num_frames(r.shape[0], t.shape[0],
                                   C.FB_FRAMESIZE, C.FB_FRAMESIZE)
                for r, t in zip(refs, tests))
@@ -97,10 +93,29 @@ def prepare_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
     g_fb = granularity * 6
     if granularity >= 32 and g_fb % 256:
         g_fb = -(-g_fb // 256) * 256       # round the grid itself up
-    n_fb = bucket_frames(n_fb, g_fb)
+    return (n_fft, bucket_frames(n_fb, g_fb))
+
+
+def prepare_chunk(refs, tests, buckets):
+    """Pad one chunk of [T, C] pairs to the shared `buckets` frame counts.
+    Returns (ref_fft, test_fft[, ref_fb, test_fb], valid_fft[, valid_fb])
+    stacked [B, CH, T]."""
+    ref_fft, test_fft, valid_fft = _pad_pairwise(
+        refs, tests, buckets[0], C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+    if len(buckets) == 1:
+        return ref_fft, test_fft, valid_fft
     ref_fb, test_fb, valid_fb = _pad_pairwise(
-        refs, tests, n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+        refs, tests, buckets[1], C.FB_FRAMESIZE, C.FB_FRAMESIZE)
     return ref_fft, test_fft, ref_fb, test_fb, valid_fft, valid_fb
+
+
+def prepare_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
+                  advanced: bool = False, granularity: int = 64):
+    """Pad a list of [T, C] float32 pairs into stacked batch arrays.
+
+    Returns (ref_fft, test_fft[, ref_fb, test_fb]) stacked [B, CH, T]."""
+    return prepare_chunk(
+        refs, tests, compute_buckets(refs, tests, advanced, granularity))
 
 
 def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
@@ -121,7 +136,7 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
     refs = [api._as_2d_f32(r) for r in refs]
     tests = [api._as_2d_f32(t) for t in tests]
     dtype = dtype or api.default_dtype()
-    arrays = prepare_batch(refs, tests, advanced, granularity)
+    buckets = compute_buckets(refs, tests, advanced, granularity)
     if advanced:
         fn = _jitted_advanced_batch(playback_level, settings, dtype)
     else:
@@ -130,10 +145,15 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
     mb = min(microbatch, n) if microbatch else n
     outs, takes = [], []
     for start in range(0, n, mb):
-        chunk = [a[start:start + mb] for a in arrays]
-        pad = mb - chunk[0].shape[0]
+        # host padding happens PER MICROBATCH (sweep-scale batches would
+        # otherwise hold a second fully-padded copy of the whole corpus)
+        r_chunk = refs[start:start + mb]
+        t_chunk = tests[start:start + mb]
+        pad = mb - len(r_chunk)
         if pad:
-            chunk = [np.concatenate([c, c[-1:].repeat(pad, 0)]) for c in chunk]
+            r_chunk = list(r_chunk) + [r_chunk[-1]] * pad
+            t_chunk = list(t_chunk) + [t_chunk[-1]] * pad
+        chunk = prepare_chunk(r_chunk, t_chunk, buckets)
         # dispatch every chunk before materializing any result: a host
         # round trip on this backend is ~29 ms, and syncing inside the
         # dispatch loop would serialize it with the device compute

@@ -89,14 +89,23 @@ def realistic_pairs(n, seconds, seed=3):
         return 0.5 * _harmonic(t, 180.0 + 37.0 * (i % 11), cutoff) * am
 
     def transients():
-        """Castanet-like clicks: decaying noise bursts every ~0.25 s."""
+        """Castanet-like clicks: decaying noise bursts every ~0.25 s.
+        Lowpassed at 14 kHz like real program material — a flat burst
+        spectrum keeps BandwidthRefB's per-frame validity gate
+        (ref bw > 346, src/movs.c:806) permanently closed and the MOV
+        ends 0/0."""
         x = np.zeros(ns)
         period = 12000
         for s in range(2000, ns - 4000, period):
             burst = (rng.standard_normal(4000)
                      * np.exp(-np.arange(4000) / 500.0))
             x[s:s + 4000] += 0.4 * burst
-        return x + 0.02 * np.sin(2 * np.pi * 523.0 * t)
+        # flat -94 dB dither: a brickwall-lowpassed ref has NO high-band
+        # floor, so the bandwidth MOV's zero threshold (max power in bins
+        # 921..1023, src/movs.c:781) compares numerical dust and both
+        # tiers produce noise-driven (or NaN) BandwidthRefB
+        return (_lowpass(x, 14000.0) + 0.02 * np.sin(2 * np.pi * 523.0 * t)
+                + 2e-5 * rng.standard_normal(ns))
 
     def tonal():
         """Harpsichord-like: dense harmonic stack with sharp decays."""
@@ -145,10 +154,14 @@ def realistic_pairs(n, seconds, seed=3):
     # 14: slow gain drift (level-adapter stress)
     ref = harm_ref(len(items)) + 1e-5 * rng.standard_normal(ns)
     items.append((ref, ref * (1.0 + 0.04 * np.sin(2 * np.pi * 0.25 * t))))
-    # 15: speech-like AM noise (modulation MOVs without harmonic structure)
-    formant = _lowpass(rng.standard_normal(ns), 3500.0)
+    # 15: speech-like AM noise (modulation MOVs without harmonic
+    # structure).  Content to 10 kHz (fricative-like) keeps the
+    # BandwidthRefB validity gate (>346 bins ~ 8.1 kHz) open — a
+    # narrowband item leaves the accumulator 0/0 in every tier — plus
+    # flat dither for a well-defined zero threshold (see transients)
+    formant = _lowpass(rng.standard_normal(ns), 10000.0)
     syl = np.abs(np.sin(2 * np.pi * 3.1 * t)) ** 1.5
-    ref = 0.3 * formant * syl
+    ref = 0.3 * formant * syl + 2e-5 * rng.standard_normal(ns)
     items.append((ref, _stft_quantize(ref, 40.0, rng=rng)))
     # 16: clipping nonlinearity (harmonic distortion, full-band error)
     ref = harm_ref(len(items)) + 1e-5 * rng.standard_normal(ns)
@@ -229,20 +242,37 @@ def main():
         np.savez(args.save, odg=out["odg"], movs=out["movs"])
         return
 
-    # exact reference leg in a clean subprocess (CPU f64)
-    with tempfile.NamedTemporaryFile(suffix=".npz") as tmp:
-        cmd = [sys.executable, os.path.abspath(__file__),
-               "--dtype", "float64", "--pairs", str(args.pairs),
-               "--seconds", str(args.seconds), "--save", tmp.name]
-        if args.advanced:
-            cmd.append("--advanced")
-        env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
-        t0 = time.time()
-        subprocess.run(cmd, check=True, env=env)
-        ref = np.load(tmp.name)
+    # exact reference leg in a clean subprocess (CPU f64); cached per
+    # (corpus hash, mode, pairs, seconds) — the 1-core f64 leg dominates
+    # wall time and is identical across tier measurements
+    import hashlib
+    with open(os.path.abspath(__file__), "rb") as fh:
+        src = fh.read()
+    corpus_src = src[src.index(b"def _harmonic"):src.index(b"def _run_tier")]
+    tag = hashlib.sha256(corpus_src).hexdigest()[:12]
+    cache = (f"/tmp/tpu_drift_ref_{tag}_{'adv' if args.advanced else 'bas'}"
+             f"_{args.pairs}_{args.seconds}.npz")
+    t0 = time.time()
+    if os.path.exists(cache):
+        ref = np.load(cache)
         out64 = {"odg": ref["odg"], "movs": ref["movs"]}
-    print(f"CPU float64 ({time.time() - t0:.0f} s):",
-          np.round(out64["odg"], 6), flush=True)
+        print(f"CPU float64 (cached {cache}):",
+              np.round(out64["odg"], 6), flush=True)
+    else:
+        with tempfile.NamedTemporaryFile(suffix=".npz") as tmp:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--dtype", "float64", "--pairs", str(args.pairs),
+                   "--seconds", str(args.seconds), "--save", tmp.name]
+            if args.advanced:
+                cmd.append("--advanced")
+            env = {k: v for k, v in os.environ.items()
+                   if k != "JAX_PLATFORMS"}
+            subprocess.run(cmd, check=True, env=env)
+            ref = np.load(tmp.name)
+            out64 = {"odg": ref["odg"], "movs": ref["movs"]}
+            np.savez(cache, odg=out64["odg"], movs=out64["movs"])
+        print(f"CPU float64 ({time.time() - t0:.0f} s):",
+              np.round(out64["odg"], 6), flush=True)
 
     print("max |dODG|:", np.max(np.abs(out["odg"] - out64["odg"])),
           flush=True)
