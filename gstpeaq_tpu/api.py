@@ -76,19 +76,33 @@ def resolve_dtypes(name: str):
     """Map a precision name to (band_dtype, spectrum_dtype).
 
     "float64"  exact double everywhere (bit-faithful to the C reference)
-    "float32"  the TPU tier: ~1e-4 worst-case ODG drift at full speed (all
-               matmuls carry explicit >=f32 precision; see docs/precision.md)
-    "mixed"    f32 spectra (MXU GEMM) + f64 band-domain chain: <1e-6 ODG
-               drift, ~7x slower than float32 on TPU
+    "float32"  the TPU throughput tier: DFT-GEMM spectra; typical ~1e-4
+               ODG drift, up to ~3e-2 on extreme (<10 dB SNR) items via
+               bandwidth threshold flips (docs/precision.md)
+    "mixed"    the accurate TPU tier: VPU-FFT spectra (rounding ~eps*
+               sqrt(log N) instead of the GEMM's eps*sqrt(K)) + the same
+               f32 band chain (every band stage contributes <=7e-8 ODG —
+               measured, tools/noise_budget.py).  Typical <=3e-5 drift,
+               worst 2e-3 on corpus v2; several times faster than the
+               former f64-band-chain mixed tier, and strictly more
+               accurate on codec-grade items (which are limited by the
+               shared spectra, not the band chain).
+    Use use_fft_spectra(name) to pick the spectrum path for a tier.
     """
     import jax
     import jax.numpy as jnp
-    if name in ("float64", "mixed"):
+    if name == "float64":
         jax.config.update("jax_enable_x64", True)
     if name == "mixed":
-        return jnp.float64, jnp.float32
+        return jnp.float32, jnp.float32
     d = jnp.dtype(name)
     return d, d
+
+
+def use_fft_spectra(name: str) -> bool:
+    """Whether a precision tier computes spectra with the VPU FFT instead
+    of the DFT GEMM (see resolve_dtypes)."""
+    return name == "mixed"
 
 
 def _pad_bucketed(sig: np.ndarray, n_own: int, n_bucket: int,
@@ -111,7 +125,8 @@ def _jitted_basic(n_frames: int, channels: int, playback_level: float,
     from .models import basic
     dtype, sdtype = resolve_dtypes(dtype_name)
     pipe, consts = basic.make_pipeline(band_count, playback_level,
-                                       settings, dtype, sdtype)
+                                       settings, dtype, sdtype,
+                                       fft_spectra=use_fft_spectra(dtype_name))
     jfn = jax.jit(pipe)
     return lambda *args: jfn(consts, *args)
 
@@ -123,8 +138,9 @@ def _jitted_advanced(n_fft_frames: int, n_fb_frames: int, channels: int,
     import jax
     from .models import advanced
     dtype, sdtype = resolve_dtypes(dtype_name)
-    pipe, consts = advanced.make_pipeline(playback_level, settings, dtype,
-                                          sdtype)
+    pipe, consts = advanced.make_pipeline(
+        playback_level, settings, dtype, sdtype,
+        fft_spectra=use_fft_spectra(dtype_name))
     jfn = jax.jit(pipe)
     return lambda *args: jfn(consts, *args)
 

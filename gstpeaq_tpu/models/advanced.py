@@ -36,7 +36,8 @@ class AdvancedOutputs(NamedTuple):
 
 def make_pipeline(playback_level: float = 92.0,
                   settings: C.Settings = C.DEFAULT_SETTINGS,
-                  dtype=jnp.float64, spectrum_dtype=None):
+                  dtype=jnp.float64, spectrum_dtype=None,
+                  fft_spectra: bool = False):
     """Build the jittable advanced pipeline closure.
 
     Returns fn(ref_fft, test_fft, ref_fb, test_fb), channel-major:
@@ -49,7 +50,8 @@ def make_pipeline(playback_level: float = 92.0,
     # grouping support (NMR < group_bin_hi, EHS < 512; bandwidth is
     # basic-only), so the rDFT GEMM skips the top ~25% of columns
     kf0 = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype,
-                          truncate_spectrum=True)
+                          truncate_spectrum=True,
+                          use_dft_gemm=False if fft_spectra else None)
     fb_params = EP.fb_ear_params(playback_level)
     kb0 = FB.build_consts(
         fb_params, dtype=dtype, spectrum_dtype=sdtype,

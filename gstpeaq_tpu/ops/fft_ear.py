@@ -127,8 +127,11 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
         dft = fs(np.concatenate([np.cos(ang) * win, np.sin(ang) * win], 1))
     # EHS autocorrelation DFT-GEMM matrices (MXU path; the VPU FFTs are the
     # second-largest stage of the basic pipeline, ~14 ms of 49 at mb=32).
+    # Independent of the MAIN spectrum path: the accurate (VPU-FFT) tier
+    # keeps these — the EHS transforms at HIGHEST are accuracy-neutral
+    # (EHS error is set by the d log-difference, not its DFTs).
     ehs_fwd = ehs_inv_re = ehs_inv_im = ehs_fwd2 = None
-    if use_dft_gemm and jnp.dtype(spectrum_dtype) == jnp.float32:
+    if jnp.dtype(spectrum_dtype) == jnp.float32:
         n = 2 * C.MAXLAG                       # 512
         kk = np.arange(n // 2 + 1)
         ang = -2.0 * np.pi * np.outer(np.arange(n), kk) / n

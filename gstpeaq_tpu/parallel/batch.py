@@ -31,7 +31,8 @@ def _jitted_basic_batch(playback_level: float, settings: C.Settings,
     from ..models import basic
     dtype, sdtype = api.resolve_dtypes(dtype_name)
     pipe, consts = basic.make_pipeline(
-        C.BASIC_BAND_COUNT, playback_level, settings, dtype, sdtype)
+        C.BASIC_BAND_COUNT, playback_level, settings, dtype, sdtype,
+        fft_spectra=api.use_fft_spectra(dtype_name))
     jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0)))
     return lambda *args: jfn(consts, *args)
 
@@ -43,8 +44,9 @@ def _jitted_advanced_batch(playback_level: float, settings: C.Settings,
     from .. import api
     from ..models import advanced
     dtype, sdtype = api.resolve_dtypes(dtype_name)
-    pipe, consts = advanced.make_pipeline(playback_level, settings, dtype,
-                                          sdtype)
+    pipe, consts = advanced.make_pipeline(
+        playback_level, settings, dtype, sdtype,
+        fft_spectra=api.use_fft_spectra(dtype_name))
     jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0, 0, 0, 0)))
     return lambda *args: jfn(consts, *args)
 

@@ -56,8 +56,10 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
     from ..ops import fft_ear as FE, framing
 
     dtype, sdtype = api.resolve_dtypes(dtype_name)
+    fft_spectra = api.use_fft_spectra(dtype_name)
     params = EP.fft_ear_params(C.BASIC_BAND_COUNT, playback_level)
-    k0 = FE.build_consts(params, dtype=dtype, spectrum_dtype=sdtype)
+    k0 = FE.build_consts(params, dtype=dtype, spectrum_dtype=sdtype,
+                         use_dft_gemm=False if fft_spectra else None)
     avg_matrix0 = jnp.asarray(
         level_adapt.sliding_average_matrix(C.BASIC_BAND_COUNT), dtype=dtype)
     consts = (k0, avg_matrix0)
@@ -291,8 +293,10 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
 
     dtype, sdtype = api.resolve_dtypes(dtype_name)
     fft_params = EP.fft_ear_params(C.ADVANCED_FFT_BAND_COUNT, playback_level)
+    fft_spectra = api.use_fft_spectra(dtype_name)
     kf0 = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype,
-                          truncate_spectrum=True)
+                          truncate_spectrum=True,
+                          use_dft_gemm=False if fft_spectra else None)
     fb_params = EP.fb_ear_params(playback_level)
     kb0 = FB.build_consts(
         fb_params, dtype=dtype, spectrum_dtype=sdtype,
