@@ -61,9 +61,16 @@ def _shift_multiply_e0(fbr, fbi, cu, low):
         w_i = jnp.where(not_row0, pltpu.roll(w_i, 1, axis=0), 0.0) * rcu
         acc_r = acc_r + w_r
         acc_i = acc_i + w_i
+    # explicit HIGHEST: preferred_element_type sets only the OUTPUT dtype;
+    # without precision= the MXU dot runs bfloat16 (2^-8), and the
+    # modulation-derivative amplifier turned that into an 18% RmsModDiffA
+    # error (ODG drift 1.9e-2) — the repo's #1 precision rule applies
+    # inside kernels too
     er = jax.lax.dot_general(low, acc_r, (((0,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST,
                              preferred_element_type=jnp.float32)
     ei = jax.lax.dot_general(low, acc_i, (((0,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST,
                              preferred_element_type=jnp.float32)
     return er * er + ei * ei
 
