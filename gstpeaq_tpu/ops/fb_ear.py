@@ -594,31 +594,21 @@ def _spread_fused(k: FBEarConsts, hp2: jnp.ndarray, hp2_hist, cu_state):
     fb de-interleave happens on VMEM tiles inside the kernel.
     Returns (e0 [.., Z, I], cu_last [.., Z])."""
     from . import pallas_fb
+    interp = jax.default_backend() != "tpu"
     blocks, front, n_inst, ti, lead = _blocks_for_conv(hp2, hp2_hist)
     outs = list(_conv_group_outputs(k, blocks, front, ti))
     n = blocks.shape[0]
-    # slope drive in the conv layout (fuses into the conv epilogues)
-    dist_parts = []
-    for og, (b0, b1) in zip(outs, _CONV_GROUPS):
-        g = b1 - b0
-        o4 = og[:, :ti].reshape(n, ti, 4, 2 * g)
-        level = 10.0 * jnp.log10(o4[..., :g] ** 2 + o4[..., g:] ** 2)
-        s = jnp.maximum(4.0, 24.0 + 230.0 / k.fc[b0:b1] - 0.2 * level)
-        dist_parts.append(C.DIST ** s)           # [n, ti, 4, g]
-    dist = jnp.concatenate(dist_parts, axis=-1)  # [n, ti, 4, Z]
-    dist_ps = jnp.transpose(dist, (0, 3, 2, 1))  # [n, Z, 4, ti] phase-split
     a = C.SLOPE_FILTER_A if k.swap_slope else 1.0 - C.SLOPE_FILTER_A
-    cu0 = (jnp.zeros((n, k.band_count), dist.dtype) if cu_state is None
+    cu0 = (jnp.zeros((n, k.band_count), jnp.float32) if cu_state is None
            else jnp.asarray(cu_state).reshape(n, k.band_count))
     # slope smoother natively PHASE-SPLIT: y[4t+p] = a y[4t+p-1] + b[4t+p]
-    # decomposes into Horner intra-phase prefixes c_p and ONE quarter-rate
-    # recurrence z[t] = y[4t+3] = a^4 z[t-1] + c_3[t] — 4x less recurrence
-    # work and no [Z, I] <-> phase-split transpose passes
-    b = (1.0 - a) * dist_ps
-    c0 = b[:, :, 0]
-    c1 = a * c0 + b[:, :, 1]
-    c2 = a * c1 + b[:, :, 2]
-    c3 = a * c2 + b[:, :, 3]
+    # decomposes into Horner intra-phase prefixes c_p (fused with the
+    # level/dist transcendentals inside the slope kernel) and ONE
+    # quarter-rate recurrence z[t] = y[4t+3] = a^4 z[t-1] + c_3[t] — 4x
+    # less recurrence work and no [Z, I] <-> phase-split transposes
+    c1_band = 24.0 + 230.0 / k.fc
+    c0, c1, c2, c3 = pallas_fb.slope_prefixes_from_conv(
+        outs[0], outs[1], outs[2], c1_band, a, n_inst, interpret=interp)
     z = iir.linear_recurrence_blocked(a ** 4, c3, y0=cu0)
     zprev = jnp.concatenate([cu0[..., None], z[..., :-1]], axis=-1)
     cu_p = (a * zprev + c0, a * a * zprev + c1,
@@ -626,7 +616,7 @@ def _spread_fused(k: FBEarConsts, hp2: jnp.ndarray, hp2_hist, cu_state):
     e0_ps = pallas_fb.spread_from_conv(
         outs[0], outs[1], outs[2], cu_p,
         k.lower_matrix.astype(jnp.float32), n_inst,
-        interpret=jax.default_backend() != "tpu")   # [n, Z, 4, ti]
+        interpret=interp)                            # [n, Z, 4, ti]
     e0 = jnp.swapaxes(e0_ps, -1, -2).reshape(n, k.band_count, n_inst)
     return (e0.reshape(*lead, k.band_count, n_inst),
             z[..., -1].reshape(*lead, k.band_count))

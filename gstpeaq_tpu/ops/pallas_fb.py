@@ -34,7 +34,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import constants as _C
+
 Z = 40           # FB band count (BS.1387 Table 8)
+_DIST = _C.DIST
 TILE_I = 512     # instants per grid step (lanes), spread_apply
 # spread_from_conv tile: must divide every production instant count AND
 # keep rows = TILE_CONV / 4 a multiple of 128 (Mosaic requires the last
@@ -125,24 +128,96 @@ def _make_conv_kernel(group_sizes):
     def kernel(o1_ref, o2_ref, o3_ref, cu0_ref, cu1_ref, cu2_ref, cu3_ref,
                low_ref, out_ref):
         rows = TILE_CONV // 4
-        parts_re = []
-        parts_im = []
-        for ref, g in zip((o1_ref, o2_ref, o3_ref), group_sizes):
-            g2 = 2 * g
-            x = ref[0]                             # [rows, 4 * g2]
-            flat = jnp.concatenate(
-                [x[:, p * g2:(p + 1) * g2].T for p in range(4)],
-                axis=1)                            # [g2, 4 * rows]
-            parts_re.append(flat[:g])
-            parts_im.append(flat[g:])
-        fbr = jnp.concatenate(parts_re, axis=0)    # [Z, TILE_CONV]
-        fbi = jnp.concatenate(parts_im, axis=0)
+        fbr, fbi = _deinterleave((o1_ref, o2_ref, o3_ref), group_sizes)
         cu = jnp.concatenate(
             [r[0] for r in (cu0_ref, cu1_ref, cu2_ref, cu3_ref)], axis=1)
         e0 = _shift_multiply_e0(fbr, fbi, cu, low_ref[:])
         for p in range(4):
             out_ref[0, :, p, :] = e0[:, p * rows:(p + 1) * rows]
     return kernel
+
+
+def _deinterleave(refs, group_sizes):
+    """Conv-output refs -> (fbr, fbi) [Z, 4 * rows] phase-major tiles."""
+    parts_re = []
+    parts_im = []
+    for ref, g in zip(refs, group_sizes):
+        g2 = 2 * g
+        x = ref[0]                                 # [rows, 4 * g2]
+        flat = jnp.concatenate(
+            [x[:, p * g2:(p + 1) * g2].T for p in range(4)],
+            axis=1)                                # [g2, 4 * rows]
+        parts_re.append(flat[:g])
+        parts_im.append(flat[g:])
+    return (jnp.concatenate(parts_re, axis=0),
+            jnp.concatenate(parts_im, axis=0))
+
+
+def _make_slope_kernel(group_sizes, log_dist, a):
+    """Conv outputs -> Horner intra-phase slope prefixes c_0..c_3.
+
+    Fuses level = 10 log10(|fb|^2), s = max(4, c1_band - 0.2 level),
+    dist = DIST^s and the phase Horner chain c_p = a c_{p-1} + (1-a) dist_p
+    into one pass over the conv outputs — the XLA form materialized dist in
+    the conv layout, lane-concatenated the three groups, and transposed to
+    the band-major layout (~2 ms/iter of formatting)."""
+    def kernel(o1_ref, o2_ref, o3_ref, c1b_ref, c0_ref, c1_ref, c2_ref,
+               c3_ref):
+        rows = TILE_CONV // 4
+        fbr, fbi = _deinterleave((o1_ref, o2_ref, o3_ref), group_sizes)
+        level = (10.0 / np.log(10.0)) * jnp.log(fbr * fbr + fbi * fbi)
+        s = jnp.maximum(4.0, c1b_ref[:, :1] - 0.2 * level)
+        dist = jnp.exp(log_dist * s)               # [Z, 4 * rows]
+        b = (1.0 - a) * dist
+        c0 = b[:, :rows]
+        c1 = a * c0 + b[:, rows:2 * rows]
+        c2 = a * c1 + b[:, 2 * rows:3 * rows]
+        c3 = a * c2 + b[:, 3 * rows:]
+        c0_ref[0] = c0
+        c1_ref[0] = c1
+        c2_ref[0] = c2
+        c3_ref[0] = c3
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_inst", "slope_a",
+                                             "interpret"))
+def slope_prefixes_from_conv(o1, o2, o3, c1_band, slope_a, n_inst: int,
+                             interpret: bool = False):
+    """Horner intra-phase prefixes (c_0..c_3), each [..., Z, ti], from the
+    raw group-conv outputs (see _make_slope_kernel).  c1_band = 24 + 230/fc
+    [Z]; slope_a = the smoother coefficient."""
+    assert n_inst % TILE_CONV == 0, n_inst
+    lead = o1.shape[:-2]
+    ti = n_inst // 4
+    n = int(np.prod(lead)) if lead else 1
+    group_sizes = (o1.shape[-1] // 8, o2.shape[-1] // 8, o3.shape[-1] // 8)
+    os_ = [o.reshape(n, o.shape[-2], o.shape[-1]) for o in (o1, o2, o3)]
+    rows = TILE_CONV // 4
+    grid = (n, n_inst // TILE_CONV)
+    o_specs = [
+        pl.BlockSpec((1, rows, 8 * g), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM)
+        for g in group_sizes]
+    cu_spec = pl.BlockSpec((1, Z, rows), lambda b, i: (b, 0, i),
+                           memory_space=pltpu.VMEM)
+    c1b = jnp.broadcast_to(c1_band[:, None], (Z, 128)).astype(jnp.float32)
+    outs = pl.pallas_call(
+        _make_slope_kernel(group_sizes, float(np.log(_DIST)),
+                           float(slope_a)),
+        out_shape=tuple(jax.ShapeDtypeStruct((n, Z, ti), jnp.float32)
+                        for _ in range(4)),
+        grid=grid,
+        in_specs=o_specs + [pl.BlockSpec((Z, 128), lambda b, i: (0, 0),
+                                         memory_space=pltpu.VMEM)],
+        out_specs=(cu_spec,) * 4,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=16 * Z * n_inst * n,
+            bytes_accessed=8 * Z * n_inst * n,
+            transcendentals=2 * Z * n_inst * n),
+    )(*os_, c1b)
+    return tuple(o.reshape(*lead, Z, ti) for o in outs)
 
 
 @functools.partial(jax.jit, static_argnames=("n_inst", "interpret"))
