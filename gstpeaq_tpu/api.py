@@ -148,9 +148,9 @@ def _jitted_advanced(n_fft_frames: int, n_fb_frames: int, channels: int,
 def default_dtype() -> str:
     """float64 when x64 is enabled (CPU conformance), else float32 (TPU).
 
-    The float32 tier satisfies the <=1e-3-ODG conformance proxy (measured
-    1.3e-4 basic / 2e-6 advanced worst-case on the realistic drift corpus)
-    at full throughput; "mixed" remains available for near-f64 parity.
+    The float32 tier satisfies the <=1e-3-ODG conformance proxy on
+    moderate (conformance-grade) material at full throughput; "mixed"
+    (VPU-FFT spectra) is the accurate tier — see docs/precision.md.
     """
     import jax
     return "float64" if jax.config.jax_enable_x64 else "float32"

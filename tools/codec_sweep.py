@@ -68,8 +68,11 @@ def main() -> int:
                        dtype=args.precision, microbatch=args.microbatch)
     dt = time.time() - t0
     audio = sum(r.shape[0] for r in refs) / 48000.0
+    import resource
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(f"# {len(refs)} pairs, {audio:.0f} audio-sec in {dt:.1f}s "
-          f"({audio/dt:.0f} audio-sec/s)", file=sys.stderr)
+          f"({audio/dt:.0f} audio-sec/s), peak host RSS {peak_gb:.1f} GB",
+          file=sys.stderr)
 
     lines = [f"{n}\t{o:.4f}\t{d:.4f}"
              for n, o, d in zip(names, out["odg"], out["di"])]
