@@ -482,6 +482,10 @@ def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
 # True/False = force (tests force True with interpret on CPU)
 USE_PALLAS_SPREAD = None
 
+# Pallas DC-chain kernel dispatch (ops/pallas_dc): None = auto (TPU backend
+# + float32 + whole-signal aligned input), True/False = force
+USE_PALLAS_DC = None
+
 
 def spread_t(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
              cu_state=None, return_state: bool = False):
@@ -633,8 +637,26 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
     else:
         dc_state, hp2_hist, cu_state, mask_state = state
     bdtype = k.internal_noise.dtype
-    hp2, dc_new = dc_reject(
-        signal.astype(k.level_factor.dtype) * k.level_factor, dc_state, True)
+    use_dc = USE_PALLAS_DC
+    if use_dc is None:
+        use_dc = (jnp.dtype(k.level_factor.dtype) == jnp.float32
+                  and jax.default_backend() == "tpu")
+    t_sig = signal.shape[-1]
+    if (use_dc and state is None and not return_state
+            and t_sig % (128 * 384) == 0):
+        # whole-signal float32 fast path: the entire level-scale -> ff ->
+        # biquad cascade in one VMEM-resident Pallas pass (ops/pallas_dc)
+        from . import pallas_dc
+        x3 = signal.astype(jnp.float32).reshape(-1, t_sig // 128, 128)
+        hp2 = pallas_dc.dc_chain_blocked(
+            x3, k.level_factor,
+            interpret=jax.default_backend() != "tpu")
+        hp2 = hp2.reshape(*signal.shape[:-1], t_sig)
+        dc_new = None
+    else:
+        hp2, dc_new = dc_reject(
+            signal.astype(k.level_factor.dtype) * k.level_factor,
+            dc_state, True)
     n_inst_sig = hp2.shape[-1] // C.FB_SUBSAMPLING
     use_fused = USE_PALLAS_SPREAD
     if use_fused is None:

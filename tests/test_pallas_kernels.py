@@ -1,0 +1,61 @@
+"""Pallas TPU kernels vs their XLA reference paths (interpret mode on CPU).
+
+The float32 TPU tier swaps several XLA stages for fused Pallas kernels
+(ops/pallas_fb, ops/pallas_dc).  On CPU the pipelines default to the XLA
+paths, so without these tests the kernels would only ever run on the real
+chip; here each kernel runs in interpret mode against the XLA stage it
+replaces, at the f32-reordering tolerance (the kernels change summation
+order, not math — see each kernel's module docstring).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gstpeaq_tpu import earparams as EP
+from gstpeaq_tpu.ops import fb_ear as FB
+from gstpeaq_tpu.ops import pallas_dc
+
+
+def test_dc_chain_kernel_matches_xla():
+    rng = np.random.default_rng(7)
+    t = 49152
+    n = 2
+    x = (rng.standard_normal((n, t)) * 2500.0).astype(np.float32)
+    lf = 0.0357
+    want = np.asarray(FB.dc_reject(jnp.asarray(x, jnp.float32) * lf))
+    got = np.asarray(pallas_dc.dc_chain_blocked(
+        jnp.asarray(x).reshape(n, t // 128, 128), lf, interpret=True))
+    got = got.reshape(n, t)
+    scale = np.abs(want).max()
+    # both paths carry ~6e-4 * max|hp2| of intrinsic f32 error vs the f64
+    # chain (near-unit poles); their mutual difference is the same order
+    assert np.abs(got - want).max() / scale < 2e-3
+    # DC rejection actually happened: output mean far below input mean
+    assert abs(got.mean()) < 1e-3 * scale
+
+
+def test_process_signal_pallas_dc_path(monkeypatch):
+    """process_signal takes the Pallas DC fast path (forced, interpret on
+    CPU) and agrees with the default XLA chain end to end."""
+    p = EP.fb_ear_params()
+    k = FB.build_consts(p, dtype=jnp.float32)
+    n_frames = 256                      # t = 49152 -> kernel-aligned
+    t = 192 * n_frames
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((t,)) * 0.2).astype(np.float32)
+    xj = jnp.asarray(x, jnp.float32)
+
+    monkeypatch.setattr(FB, "USE_PALLAS_DC", False)
+    exc_ref, uns_ref = FB.process_signal(k, xj, n_frames)
+
+    monkeypatch.setattr(FB, "USE_PALLAS_DC", True)
+    exc_got, uns_got = FB.process_signal(k, xj, n_frames)
+
+    ref = np.asarray(exc_ref)
+    got = np.asarray(exc_got)
+    assert np.abs(got - ref).max() / (np.abs(ref).max()) < 2e-3
+    ref_u = np.asarray(uns_ref)
+    got_u = np.asarray(uns_got)
+    assert np.abs(got_u - ref_u).max() / (np.abs(ref_u).max()) < 2e-3

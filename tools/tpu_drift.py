@@ -200,10 +200,8 @@ def _run_tier(dtype, advanced, fft, pairs, seconds, front_precision=None):
     if fft:
         from gstpeaq_tpu.ops import fft_ear as FE
         orig = FE.build_consts
-        FE.build_consts = (lambda p, dtype, use_dft_gemm=None,
-                           spectrum_dtype=None: orig(
-                               p, dtype, use_dft_gemm=False,
-                               spectrum_dtype=spectrum_dtype))
+        FE.build_consts = (lambda p, dtype, use_dft_gemm=None, **kw: orig(
+            p, dtype, use_dft_gemm=False, **kw))
     from gstpeaq_tpu.parallel import batch as B
     refs, tests = realistic_pairs(pairs, seconds)
     return B.peaq_batch(refs, tests, advanced=advanced, dtype=dtype,
