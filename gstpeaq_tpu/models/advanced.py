@@ -77,12 +77,14 @@ def make_pipeline(playback_level: float = 92.0,
 
         power, weighted, unsmeared, thresh, delta_w = FE.stateless_pair_hop(
             kf, rblocks, tblocks)
-        exc = FE.time_smear(kf, jnp.moveaxis(unsmeared, 1, 0), axis=0)
-        exc = jnp.moveaxis(exc, 0, 1)
+        # only the REF smeared excitation is consumed (NMR masking); smear
+        # it alone in the transposed layout and hand nmr the frame-major view
+        ref_u_t = jnp.moveaxis(unsmeared[0], -3, -1)      # [CH, Z, F]
+        ref_exc = jnp.moveaxis(FE.time_smear(kf, ref_u_t, axis=-1), -1, -3)
         hi = kf.group_bin_hi
         nmr_mean, _ = MOVS.nmr(kf.group_matrix[:hi], kf.masking_difference,
                                weighted[0][..., :hi], weighted[1][..., :hi],
-                               exc[0], delta_weighted=delta_w)
+                               ref_exc, delta_weighted=delta_w)
         ehs_val, ehs_valid = MOVS.ehs(
             weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if kf.ehs_fwd is None else
@@ -106,23 +108,21 @@ def make_pipeline(playback_level: float = 92.0,
         # op count of the FB front end vs separate ref/test calls); inputs
         # are already channel-major
         both_sig = jnp.stack([ref_fb.astype(sdtype), test_fb.astype(sdtype)])
-        exc2, uns2 = FB.process_signal(kb, both_sig, n_fb)   # [2,CH,F,40]
-        # frame axis leading for the scans
-        exc2 = jnp.moveaxis(exc2, -2, 0)      # [F,2,CH,40]
-        uns2 = jnp.moveaxis(uns2, -2, 0)
-        ref_e, test_e = exc2[:, 0], exc2[:, 1]
-        ref_u = uns2[:, 0]
+        exc2, uns2 = FB.process_signal(kb, both_sig, n_fb)   # [2,CH,40,F]
+        # the FB chain's native transposed layout IS the MOV-tail layout:
+        # no boundary transpose at all
+        ref_e, test_e = exc2[0], exc2[1]
 
         adapted_ref, adapted_test, _ = level_adapt.level_adapt(
             kb.adapt_a, avg_matrix, ref_e, test_e)
         mod2, avg_loud2, _ = modproc.modulation(
             kb.adapt_a, uns2, C.FB_FRAMESIZE)
-        mod_ref, mod_test = mod2[:, 0], mod2[:, 1]
-        avg_loud_ref = avg_loud2[:, 0]
+        mod_ref, mod_test = mod2[0], mod2[1]
+        avg_loud_ref = avg_loud2[0]
 
-        loud_ref = FB.loudness(kb, ref_e)
-        loud_test = FB.loudness(kb, test_e)
-        loud_ok = jnp.any((loud_ref > 0.1) & (loud_test > 0.1), axis=-1)
+        loud_ref = FB.loudness(kb, ref_e, axis=-2)   # [CH,F]
+        loud_test = FB.loudness(kb, test_e, axis=-2)
+        loud_ok = jnp.any((loud_ref > 0.1) & (loud_test > 0.1), axis=-2)
         any_loud = jnp.any(loud_ok)
         f_idx = jnp.arange(n_fb)
         loud_frame = jnp.argmax(loud_ok)
@@ -130,26 +130,28 @@ def make_pipeline(playback_level: float = 92.0,
         nl_gate = (md_gate & any_loud
                    & (f_idx - 13 >= loud_frame))   # src/gstpeaq.c:996-997
 
-        md1, _, temp_wt = MOVS.modulation_difference(
+        fm = lambda x: jnp.swapaxes(x, -1, -2)     # [CH,F] -> accum [F,CH]
+        md1_t, _, temp_wt_t = MOVS.modulation_difference(
             kb.internal_noise, mod_ref, mod_test, avg_loud_ref,
             rms_mode=True, lev_wt=1.0)
-        nl_asym = MOVS.noise_loudness(
+        md1, temp_wt = fm(md1_t), fm(temp_wt_t)
+        nl_asym = fm(MOVS.noise_loudness(
             kb.internal_noise, 2.5, 0.3, 1.0, 0.1, mod_ref, mod_test,
-            adapted_ref, adapted_test)
+            adapted_ref, adapted_test))
         if settings.swap_mod_patts_for_noise_loudness_movs:
-            missing = MOVS.noise_loudness(
+            missing = fm(MOVS.noise_loudness(
                 kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_test, mod_ref,
-                adapted_test, adapted_ref)
-            lin_dist = MOVS.noise_loudness(
+                adapted_test, adapted_ref))
+            lin_dist = fm(MOVS.noise_loudness(
                 kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_ref, mod_ref,
-                adapted_ref, ref_e)
+                adapted_ref, ref_e))
         else:
-            missing = MOVS.noise_loudness(
+            missing = fm(MOVS.noise_loudness(
                 kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_ref, mod_test,
-                adapted_test, adapted_ref)
-            lin_dist = MOVS.noise_loudness(
+                adapted_test, adapted_ref))
+            lin_dist = fm(MOVS.noise_loudness(
                 kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_ref, mod_test,
-                adapted_ref, ref_e)
+                adapted_ref, ref_e))
 
         cmb = committed_fb[:, None]
         gmb = md_gate[:, None]

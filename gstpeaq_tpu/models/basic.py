@@ -92,42 +92,49 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         ref_w, test_w = weighted[0], weighted[1]
 
         # ---- stage B: scans over the frame axis ----
-        uns_f = jnp.moveaxis(unsmeared, 1, 0)  # [F,2,CH,Z]
-        exc = FE.time_smear(k, uns_f, axis=0)
-        exc = jnp.moveaxis(exc, 0, 1)          # [2,F,CH,Z]
-        ref_e, test_e = exc[0], exc[1]
+        # transposed MOV-tail layout [2, CH, Z, F]: bands on sublanes,
+        # frames on lanes — ONE boundary transpose here replaces the
+        # moveaxis pair around every banded recurrence and the Z->128
+        # lane padding of every elementwise tail op
+        uns_t = jnp.moveaxis(unsmeared, -3, -1)  # [2,CH,Z,F]
+        exc = FE.time_smear(k, uns_t, axis=-1)
+        ref_e, test_e = exc[0], exc[1]           # [CH,Z,F]
         adapted_ref, adapted_test, _ = level_adapt.level_adapt(
             k.adapt_a, avg_matrix, ref_e, test_e)
         # both signals through one modulation pass
         mod2, avg_loud2, _ = modproc.modulation(
-            k.adapt_a, uns_f, C.FFT_STEPSIZE)
-        mod_ref, mod_test = mod2[:, 0], mod2[:, 1]
-        avg_loud_ref = avg_loud2[:, 0]
+            k.adapt_a, uns_t, C.FFT_STEPSIZE)
+        mod_ref, mod_test = mod2[0], mod2[1]
+        avg_loud_ref = avg_loud2[0]
 
         # loudness gate; src/gstpeaq.c:841-845,880-886
-        loud_ref = FE.loudness(k, ref_e)       # [F,CH]
-        loud_test = FE.loudness(k, test_e)
-        loud_ok = jnp.any((loud_ref > 0.1) & (loud_test > 0.1), axis=-1)
+        loud_ref = FE.loudness(k, ref_e, axis=-2)   # [CH,F]
+        loud_test = FE.loudness(k, test_e, axis=-2)
+        loud_ok = jnp.any((loud_ref > 0.1) & (loud_test > 0.1), axis=-2)
         any_loud = jnp.any(loud_ok)
-        f_idx = jnp.arange(loud_ok.shape[0])
+        f_idx = jnp.arange(loud_ok.shape[-1])
         loud_frame = jnp.argmax(loud_ok)       # first frame where reached
         nl_gate = ((f_idx >= 24) & any_loud
                    & (f_idx - 3 >= loud_frame))
         md_gate = f_idx >= 24
 
         # ---- stage C: per-frame MOV terms ----
-        md1, md2, temp_wt = MOVS.modulation_difference(
+        # band-domain terms come out [CH, F]; the tiny accum boundary
+        # transposes them to the accumulators' frame-major [F, CH]
+        fm = lambda x: jnp.swapaxes(x, -1, -2)
+        md1, md2, temp_wt = (fm(x) for x in MOVS.modulation_difference(
             k.internal_noise, mod_ref, mod_test, avg_loud_ref,
-            rms_mode=False, lev_wt=100.0)
-        nl = MOVS.noise_loudness(
+            rms_mode=False, lev_wt=100.0))
+        nl = fm(MOVS.noise_loudness(
             k.internal_noise, 1.5, 0.15, 0.5, 0.0, mod_ref, mod_test,
-            adapted_ref, adapted_test)
+            adapted_ref, adapted_test))
         bw_ref, bw_test, bw_valid = MOVS.bandwidth(ref_p, test_p)
         hi = k.group_bin_hi
         nmr_mean, disturbed = MOVS.nmr(
             k.group_matrix[:hi], k.masking_difference,
-            ref_w[..., :hi], test_w[..., :hi], ref_e,
-            delta_weighted=delta_w)
+            ref_w[..., :hi], test_w[..., :hi],
+            jnp.moveaxis(ref_e, -1, -3),       # frame-major for the
+            delta_weighted=delta_w)            # bin-domain quotient
         p_bin, steps_bin = MOVS.prob_detect(
             ref_e, test_e, settings.use_floor_for_steps_above_threshold)
         ehs_val, ehs_valid = MOVS.ehs(

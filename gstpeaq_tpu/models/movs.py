@@ -21,17 +21,19 @@ def modulation_difference(internal_noise: jnp.ndarray, mod_ref: jnp.ndarray,
                           rms_mode: bool, lev_wt: float):
     """ModDiff1/ModDiff2/TempWt per frame; src/movs.c:204-254.
 
-    mod_ref/mod_test/avg_loud_ref: [F, C, Z].
-    Returns (mod_diff_1b, mod_diff_2b, temp_wt), each [F, C].
+    mod_ref/mod_test/avg_loud_ref: [..., Z, F] (transposed MOV-tail
+    layout: bands on sublanes).  Returns (mod_diff_1b, mod_diff_2b,
+    temp_wt), each [..., F].
     """
-    band_count = mod_ref.shape[-1]
+    band_count = mod_ref.shape[-2]
     diff = jnp.abs(mod_ref - mod_test)
-    md1 = jnp.sum(diff / (1.0 + mod_ref), axis=-1)
+    md1 = jnp.sum(diff / (1.0 + mod_ref), axis=-2)
     w = jnp.where(mod_test >= mod_ref, 1.0, 0.1)
-    md2 = jnp.sum(w * diff / (0.01 + mod_ref), axis=-1)
+    md2 = jnp.sum(w * diff / (0.01 + mod_ref), axis=-2)
     temp_wt = jnp.sum(
-        avg_loud_ref / (avg_loud_ref + lev_wt * internal_noise ** 0.3),
-        axis=-1)
+        avg_loud_ref
+        / (avg_loud_ref + (lev_wt * internal_noise ** 0.3)[:, None]),
+        axis=-2)
     if rms_mode:
         md1 = md1 * (100.0 / np.sqrt(band_count))
     else:
@@ -45,16 +47,17 @@ def noise_loudness(internal_noise: jnp.ndarray, alpha: float,
                    mod_ref: jnp.ndarray, mod_test: jnp.ndarray,
                    e_ref: jnp.ndarray, e_test: jnp.ndarray) -> jnp.ndarray:
     """Noise-loudness kernel, (66)-(68) of BS.1387; src/movs.c:708-743.
-    All band inputs [..., Z] -> [...]."""
-    band_count = mod_ref.shape[-1]
+    All band inputs [..., Z, F] (transposed MOV-tail layout) -> [..., F]."""
+    band_count = mod_ref.shape[-2]
+    noise = internal_noise[:, None]
     sref = thres_fac * mod_ref + s0
     stest = thres_fac * mod_test + s0
     beta = jnp.exp(-alpha * (e_test - e_ref) / e_ref)
     nl = jnp.sum(
-        (internal_noise / stest) ** 0.23
+        (noise / stest) ** 0.23
         * ((1.0 + jnp.maximum(stest * e_test - sref * e_ref, 0.0)
-            / (internal_noise + sref * e_ref * beta)) ** 0.23 - 1.0),
-        axis=-1) * (24.0 / band_count)
+            / (noise + sref * e_ref * beta)) ** 0.23 - 1.0),
+        axis=-2) * (24.0 / band_count)
     return jnp.where(nl < nl_min, 0.0, nl)
 
 
@@ -117,8 +120,8 @@ def prob_detect(e_ref: jnp.ndarray, e_test: jnp.ndarray,
     """Binaural detection probability and steps per frame;
     src/movs.c:1223-1276.
 
-    e_ref/e_test: [F, C, Z] excitation patterns.
-    Returns (p_bin, steps_bin), each [F].
+    e_ref/e_test: [..., C, Z, F] excitation patterns (transposed MOV-tail
+    layout).  Returns (p_bin, steps_bin), each [..., F].
     """
     eref_db = 10.0 * jnp.log10(e_ref)
     etest_db = 10.0 * jnp.log10(e_test)
@@ -136,10 +139,10 @@ def prob_detect(e_ref: jnp.ndarray, e_test: jnp.ndarray,
     pc = 1.0 - 0.5 ** ((e / s) ** b)
     int_e = jnp.floor(e) if use_floor else jnp.trunc(e)
     qc = jnp.abs(int_e) / s
-    p_band = jnp.max(pc, axis=1)      # max over channels -> [F, Z]
-    q_band = jnp.max(qc, axis=1)
-    p_bin = 1.0 - jnp.prod(1.0 - p_band, axis=-1)
-    steps_bin = jnp.sum(q_band, axis=-1)
+    p_band = jnp.max(pc, axis=-3)     # max over channels -> [..., Z, F]
+    q_band = jnp.max(qc, axis=-3)
+    p_bin = 1.0 - jnp.prod(1.0 - p_band, axis=-2)
+    steps_bin = jnp.sum(q_band, axis=-2)
     return p_bin, steps_bin
 
 

@@ -631,7 +631,9 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
     """Whole-signal / chunked FB ear model.  signal: [..., T] with
     T = 192 * n_frames.  `state` carries (dc_state, hp2_history, cu,
     masking_state) for streaming.  Returns (excitation, unsmeared)
-    [..., F, 40] (+ new state when requested)."""
+    [..., 40, F] — the transposed MOV-tail layout (bands on sublanes,
+    frames on lanes), which is also the chain's native internal layout
+    (+ new state when requested)."""
     if state is None:
         dc_state = hp2_hist = cu_state = mask_state = None
     else:
@@ -675,10 +677,8 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
         e0, cu_new = spread_t(
             k, fb_re.astype(bdtype), fb_im.astype(bdtype),
             cu_state, True)                      # [.., 40, I]
-    exc_t, uns_t, mask_new = back_and_forward_masking_t(
-        k, e0, n_frames, mask_state, True)
-    exc = jnp.moveaxis(exc_t, -1, -2)            # [.., F, 40]
-    uns = jnp.moveaxis(uns_t, -1, -2)
+    exc, uns, mask_new = back_and_forward_masking_t(
+        k, e0, n_frames, mask_state, True)       # [.., 40, F]
     if return_state:
         hist = (jnp.concatenate([hp2_hist, hp2], -1)[..., -_HIST_LEN:]
                 if hp2_hist is not None else
@@ -689,9 +689,18 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
     return exc, uns
 
 
-def loudness(k: FBEarConsts, excitation: jnp.ndarray) -> jnp.ndarray:
-    """Overall loudness; src/earmodel.c:890-907."""
-    val = k.loudness_factor * (
-        (1.0 - k.threshold
-         + k.threshold * excitation / k.excitation_threshold) ** 0.23 - 1.0)
-    return jnp.sum(jnp.maximum(val, 0.0), axis=-1) * (24.0 / k.band_count)
+def loudness(k: FBEarConsts, excitation: jnp.ndarray,
+             axis: int = -1) -> jnp.ndarray:
+    """Overall loudness; src/earmodel.c:890-907.  Reduces the band axis
+    (`axis`; -2 in the transposed [..., Z, F] MOV-tail layout — the
+    per-band constants broadcast in place, no transpose)."""
+    if axis == -1 or axis == excitation.ndim - 1:
+        lf, th, et = k.loudness_factor, k.threshold, k.excitation_threshold
+    elif axis == -2 or axis == excitation.ndim - 2:
+        lf = k.loudness_factor[:, None]
+        th = k.threshold[:, None]
+        et = k.excitation_threshold[:, None]
+    else:
+        raise ValueError("loudness: band axis must be -1 or -2")
+    val = lf * ((1.0 - th + th * excitation / et) ** 0.23 - 1.0)
+    return jnp.sum(jnp.maximum(val, 0.0), axis=axis) * (24.0 / k.band_count)

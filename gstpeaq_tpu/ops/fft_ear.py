@@ -388,19 +388,36 @@ def time_smear(k: FFTEarConsts, unsmeared: jnp.ndarray, axis: int = 0,
     """Time-domain smearing E = max(filtered, unsmeared);
     src/fftearmodel.c:496-504.  The filtered state is a linear recurrence
     solved in log-depth; the max is elementwise.  `state` carries the
-    filtered excitation across chunks (streaming)."""
-    filtered = iir.smoothing_filter_banded(k.ear_a, unsmeared, axis=axis,
-                                           y0=state)
+    filtered excitation across chunks (streaming).
+
+    Layouts: with axis != -1 the band axis is LAST ([..., F, ..., Z]);
+    with axis == -1 the input is the transposed MOV-tail layout
+    [..., Z, F] (bands on sublanes, frames on lanes) and the banded
+    recurrence runs with no moveaxis."""
+    transposed = axis == -1 or axis == unsmeared.ndim - 1
+    drive = ((1.0 - k.ear_a)[:, None] * unsmeared if transposed
+             else (1.0 - k.ear_a) * unsmeared)
+    filtered = iir.linear_recurrence_banded(k.ear_a, drive, axis=axis,
+                                            y0=state)
     out = jnp.maximum(filtered, unsmeared)
     if return_state:
         return out, jnp.take(filtered, -1, axis=axis)
     return out
 
 
-def loudness(k: FFTEarConsts, excitation: jnp.ndarray) -> jnp.ndarray:
+def loudness(k: FFTEarConsts, excitation: jnp.ndarray,
+             axis: int = -1) -> jnp.ndarray:
     """Overall loudness per frame; src/earmodel.c:890-907.
-    excitation: [..., Z] -> [...]."""
-    val = k.loudness_factor * (
-        (1.0 - k.threshold
-         + k.threshold * excitation / k.excitation_threshold) ** 0.23 - 1.0)
-    return jnp.sum(jnp.maximum(val, 0.0), axis=-1) * (24.0 / k.band_count)
+    Reduces the band axis (`axis`; -2 in the transposed [..., Z, F]
+    MOV-tail layout — the per-band constants broadcast in place, no
+    transpose)."""
+    if axis == -1 or axis == excitation.ndim - 1:
+        lf, th, et = k.loudness_factor, k.threshold, k.excitation_threshold
+    elif axis == -2 or axis == excitation.ndim - 2:
+        lf = k.loudness_factor[:, None]
+        th = k.threshold[:, None]
+        et = k.excitation_threshold[:, None]
+    else:
+        raise ValueError("loudness: band axis must be -1 or -2")
+    val = lf * ((1.0 - th + th * excitation / et) ** 0.23 - 1.0)
+    return jnp.sum(jnp.maximum(val, 0.0), axis=axis) * (24.0 / k.band_count)

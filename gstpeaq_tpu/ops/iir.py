@@ -36,12 +36,6 @@ def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray, axis: int = 0,
     return bb
 
 
-def smoothing_filter(a: jnp.ndarray, x: jnp.ndarray, axis: int = 0,
-                     y0=None) -> jnp.ndarray:
-    """y_t = a * y_{t-1} + (1 - a) * x_t (the standard PEAQ smoother)."""
-    return linear_recurrence(a, (1.0 - a) * x, axis=axis, y0=y0)
-
-
 def running_max(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     """Cumulative maximum along `axis` (associative, log-depth)."""
     return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
@@ -108,13 +102,6 @@ def linear_recurrence_banded(a: jnp.ndarray, b: jnp.ndarray, axis: int = 0,
     if pad:
         y = y[..., :t]
     return jnp.moveaxis(y, -1, axis)
-
-
-def smoothing_filter_banded(a: jnp.ndarray, x: jnp.ndarray, axis: int = 0,
-                            y0=None, block: int = 128) -> jnp.ndarray:
-    """Blocked-GEMM form of smoothing_filter (y = a y_prev + (1-a) x)."""
-    return linear_recurrence_banded(a, (1.0 - a) * x, axis=axis, y0=y0,
-                                    block=block)
 
 
 def linear_recurrence_blocked(a, b: jnp.ndarray, y0=None,

@@ -105,40 +105,41 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
 
         power, weighted, unsmeared, thresh, delta_w = FE.stateless_pair_hop(
             k, ref_blocks, test_blocks)
+        # transposed MOV-tail layout [2, CH, Z, F] (see models/basic.py)
+        uns_t = jnp.moveaxis(unsmeared, -3, -1)
         exc, smear_new = FE.time_smear(
-            k, jnp.moveaxis(unsmeared, 1, 0), axis=0,
-            state=state["smear"], return_state=True)
-        exc = jnp.moveaxis(exc, 0, 1)
+            k, uns_t, axis=-1, state=state["smear"], return_state=True)
         ref_e, test_e = exc[0], exc[1]
         adapted_ref, adapted_test, la_new = level_adapt.level_adapt(
             k.adapt_a, avg_matrix, ref_e, test_e, state=state["la"])
         mod_ref, avg_loud_ref, mod_ref_new = MP.modulation(
-            k.adapt_a, unsmeared[0], C.FFT_STEPSIZE, state=state["mod"][0])
+            k.adapt_a, uns_t[0], C.FFT_STEPSIZE, state=state["mod"][0])
         mod_test, _, mod_test_new = MP.modulation(
-            k.adapt_a, unsmeared[1], C.FFT_STEPSIZE, state=state["mod"][1])
+            k.adapt_a, uns_t[1], C.FFT_STEPSIZE, state=state["mod"][1])
 
         f_glob = state["frame_offset"] + jnp.arange(n_frames)
-        loud_ref = FE.loudness(k, ref_e)
-        loud_test = FE.loudness(k, test_e)
-        loud_ok = jnp.any((loud_ref > 0.1) & (loud_test > 0.1), axis=-1)
+        loud_ref = FE.loudness(k, ref_e, axis=-2)
+        loud_test = FE.loudness(k, test_e, axis=-2)
+        loud_ok = jnp.any((loud_ref > 0.1) & (loud_test > 0.1), axis=-2)
         lrf = jnp.minimum(state["lrf"], jnp.where(
             jnp.any(loud_ok), f_glob[jnp.argmax(loud_ok)],
             np.iinfo(np.int32).max).astype(jnp.int32))
         md_gate = f_glob >= 24
         nl_gate = md_gate & (f_glob - 3 >= lrf)
 
-        md1, md2, temp_wt = MOVS.modulation_difference(
+        fm = lambda x: jnp.swapaxes(x, -1, -2)   # [CH,F] -> accum [F,CH]
+        md1, md2, temp_wt = (fm(x) for x in MOVS.modulation_difference(
             k.internal_noise, mod_ref, mod_test, avg_loud_ref,
-            rms_mode=False, lev_wt=100.0)
-        nl = MOVS.noise_loudness(
+            rms_mode=False, lev_wt=100.0))
+        nl = fm(MOVS.noise_loudness(
             k.internal_noise, 1.5, 0.15, 0.5, 0.0, mod_ref, mod_test,
-            adapted_ref, adapted_test)
+            adapted_ref, adapted_test))
         bw_ref, bw_test, bw_valid = MOVS.bandwidth(power[0], power[1])
         hi = k.group_bin_hi
         nmr_mean, disturbed = MOVS.nmr(
             k.group_matrix[:hi], k.masking_difference,
             weighted[0][..., :hi], weighted[1][..., :hi],
-            ref_e, delta_weighted=delta_w)
+            jnp.moveaxis(ref_e, -1, -3), delta_weighted=delta_w)
         p_bin, steps_bin = MOVS.prob_detect(
             ref_e, test_e, settings.use_floor_for_steps_above_threshold)
         ehs_val, ehs_valid = MOVS.ehs(
@@ -380,14 +381,16 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
             ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
         power, weighted, unsmeared, thresh, delta_w = FE.stateless_pair_hop(
             kf, ref_blocks, test_blocks)
+        # both signals' smear states are carried (checkpoint format), but
+        # only the REF excitation is consumed (NMR masking)
+        uns_t = jnp.moveaxis(unsmeared, -3, -1)       # [2, CH, Z, F]
         exc, smear_new = FE.time_smear(
-            kf, jnp.moveaxis(unsmeared, 1, 0), axis=0,
-            state=state["smear"], return_state=True)
-        exc = jnp.moveaxis(exc, 0, 1)
+            kf, uns_t, axis=-1, state=state["smear"], return_state=True)
         hi = kf.group_bin_hi
         nmr_mean, _ = MOVS.nmr(kf.group_matrix[:hi], kf.masking_difference,
                                weighted[0][..., :hi], weighted[1][..., :hi],
-                               exc[0], delta_weighted=delta_w)
+                               jnp.moveaxis(exc[0], -1, -3),
+                               delta_weighted=delta_w)
         ehs_val, ehs_valid = MOVS.ehs(
             weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if kf.ehs_fwd is None else
@@ -425,14 +428,10 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
             ref_sig.astype(sdtype), n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
         ref_e, ref_u, fb_ref_new = FB.process_signal(
             kb, ref_sig.astype(sdtype), n_fb,
-            state["fb_ref"], True)
+            state["fb_ref"], True)                # [CH, Z, F] transposed
         test_e, test_u, fb_test_new = FB.process_signal(
             kb, test_sig.astype(sdtype), n_fb,
             state["fb_test"], True)
-        ref_e = jnp.moveaxis(ref_e, -2, 0)
-        ref_u = jnp.moveaxis(ref_u, -2, 0)
-        test_e = jnp.moveaxis(test_e, -2, 0)
-        test_u = jnp.moveaxis(test_u, -2, 0)
         adapted_ref, adapted_test, la_new = level_adapt.level_adapt(
             kb.adapt_a, avg_matrix, ref_e, test_e, state=state["la"])
         mod_ref, avg_loud_ref, mod_ref_new = MP.modulation(
@@ -441,35 +440,37 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
             kb.adapt_a, test_u, C.FB_FRAMESIZE, state=state["mod"][1])
 
         f_glob = state["frame_offset_fb"] + jnp.arange(n_fb)
-        loud_ref = FB.loudness(kb, ref_e)
-        loud_test = FB.loudness(kb, test_e)
-        loud_ok = jnp.any((loud_ref > 0.1) & (loud_test > 0.1), axis=-1)
+        loud_ref = FB.loudness(kb, ref_e, axis=-2)
+        loud_test = FB.loudness(kb, test_e, axis=-2)
+        loud_ok = jnp.any((loud_ref > 0.1) & (loud_test > 0.1), axis=-2)
         lrf = jnp.minimum(state["lrf"], jnp.where(
             jnp.any(loud_ok), f_glob[jnp.argmax(loud_ok)],
             np.iinfo(np.int32).max).astype(jnp.int32))
         md_gate = f_glob >= 125
         nl_gate = md_gate & (f_glob - 13 >= lrf)
 
-        md1, _, temp_wt = MOVS.modulation_difference(
+        fm = lambda x: jnp.swapaxes(x, -1, -2)   # [CH,F] -> accum [F,CH]
+        md1_t, _, temp_wt_t = MOVS.modulation_difference(
             kb.internal_noise, mod_ref, mod_test, avg_loud_ref,
             rms_mode=True, lev_wt=1.0)
-        nl_asym = MOVS.noise_loudness(
+        md1, temp_wt = fm(md1_t), fm(temp_wt_t)
+        nl_asym = fm(MOVS.noise_loudness(
             kb.internal_noise, 2.5, 0.3, 1.0, 0.1, mod_ref, mod_test,
-            adapted_ref, adapted_test)
+            adapted_ref, adapted_test))
         if settings.swap_mod_patts_for_noise_loudness_movs:
-            missing = MOVS.noise_loudness(
+            missing = fm(MOVS.noise_loudness(
                 kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_test, mod_ref,
-                adapted_test, adapted_ref)
-            lin_dist = MOVS.noise_loudness(
+                adapted_test, adapted_ref))
+            lin_dist = fm(MOVS.noise_loudness(
                 kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_ref, mod_ref,
-                adapted_ref, ref_e)
+                adapted_ref, ref_e))
         else:
-            missing = MOVS.noise_loudness(
+            missing = fm(MOVS.noise_loudness(
                 kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_ref, mod_test,
-                adapted_test, adapted_ref)
-            lin_dist = MOVS.noise_loudness(
+                adapted_test, adapted_ref))
+            lin_dist = fm(MOVS.noise_loudness(
                 kb.internal_noise, 1.5, 0.15, 1.0, 0.0, mod_ref, mod_test,
-                adapted_ref, ref_e)
+                adapted_ref, ref_e))
 
         has_prev = state["has_above_fb"]
         active = has_prev | (jnp.cumsum(above.astype(jnp.int32)) > 0)

@@ -54,9 +54,10 @@ def test_fb_ear_matches_spec():
     n_frames = 9
     x = (rng.standard_normal(192 * n_frames) * 0.3).astype(np.float32)
     exc_np, uns_np = R.fb_process_signal(p, x)
+    # process_signal returns the transposed MOV-tail layout [Z, F]
     exc, uns = FB.process_signal(k, jnp.asarray(x, jnp.float64), n_frames)
-    assert rel_err(exc, exc_np) < 1e-7
-    assert rel_err(uns, uns_np) < 1e-7
+    assert rel_err(np.asarray(exc).T, exc_np) < 1e-7
+    assert rel_err(np.asarray(uns).T, uns_np) < 1e-7
 
 
 def test_fb_spread_t_matches_spread():
@@ -90,7 +91,7 @@ def test_fb_ear_mixed_precision_runs():
     exc_np, _ = R.fb_process_signal(p, x)
     exc, _ = FB.process_signal(k, jnp.asarray(x, jnp.float32), n_frames)
     assert exc.dtype == jnp.float64  # band domain stays wide
-    assert rel_err(exc, exc_np) < 5e-2  # f32 front-end, loose gate
+    assert rel_err(np.asarray(exc).T, exc_np) < 5e-2  # f32 front end
 
 
 def test_fb_loudness_golden():
@@ -98,7 +99,7 @@ def test_fb_loudness_golden():
     scale = 10 ** ((40 - 92) / 20)
     sig = (scale * np.sin(2 * np.pi * 1000 / 48000 * np.arange(250 * 192)))
     exc, _ = FB.process_signal(k, jnp.asarray(sig, jnp.float64), 250)
-    loud = float(FB.loudness(k, exc[-1]))
+    loud = float(FB.loudness(k, exc[..., -1]))   # last frame, [Z]
     assert 1.03 < loud < 1.04
 
 

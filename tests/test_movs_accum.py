@@ -18,9 +18,11 @@ def test_noise_loudness_kernel():
     mt = np.abs(RNG.standard_normal((5, 109))) * 2
     er = np.abs(RNG.standard_normal((5, 109))) * 1e3 + 1
     et = er * (1 + 0.1 * RNG.standard_normal((5, 109)))
+    # transposed MOV-tail layout: [Z, F]
     got = np.asarray(MOVS.noise_loudness(
         jnp.asarray(p.internal_noise), 1.5, 0.15, 0.5, 0.0,
-        jnp.asarray(mr), jnp.asarray(mt), jnp.asarray(er), jnp.asarray(et)))
+        jnp.asarray(mr.T), jnp.asarray(mt.T),
+        jnp.asarray(er.T), jnp.asarray(et.T)))
     for i in range(5):
         want = R.calc_noise_loudness(p, 1.5, 0.15, 0.5, 0.0, mr[i], mt[i],
                                      er[i], et[i])
@@ -52,8 +54,9 @@ def test_prob_detect_matches_spec():
     p = EP.fft_ear_params(109)
     er = np.abs(RNG.standard_normal((4, 2, 109))) * 1e3 + 1
     et = er * (1 + 0.05 * RNG.standard_normal((4, 2, 109)))
+    # transposed MOV-tail layout: [C, Z, F]
     p_bin, steps = (np.asarray(x) for x in MOVS.prob_detect(
-        jnp.asarray(er), jnp.asarray(et)))
+        jnp.asarray(er.transpose(1, 2, 0)), jnp.asarray(et.transpose(1, 2, 0))))
     for i in range(4):
         acc_adb = R.MovAccum(R.MODE_ADB, 1)
         acc_mfpd = R.MovAccum(R.MODE_FILTERED_MAX, 1)

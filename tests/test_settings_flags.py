@@ -75,7 +75,7 @@ def test_swap_slope_changes_fb_excitation(pair):
     exc_np, _ = R.fb_process_signal(p, sig, swap_slope=True)
     k = FB.build_consts(p, dtype=jnp.float64, swap_slope=True)
     exc, _ = FB.process_signal(k, jnp.asarray(sig), 40)
-    np.testing.assert_allclose(np.asarray(exc), exc_np, rtol=1e-9,
+    np.testing.assert_allclose(np.asarray(exc).T, exc_np, rtol=1e-9,
                                atol=1e-12)
     exc_np_def, _ = R.fb_process_signal(p, sig, swap_slope=False)
     assert np.max(np.abs(exc_np - exc_np_def)) > 0

@@ -175,10 +175,10 @@ def _spread32(orig_spread):
 
 @injection("level adapter in f32")
 def _adapt32(orig):
-    def la(a, avg, re, te, axis=0, state=None):
+    def la(a, avg, re, te, state=None):
         ar, at, st = orig(a.astype(jnp.float32), avg.astype(jnp.float32),
                           re.astype(jnp.float32), te.astype(jnp.float32),
-                          axis=axis, state=state)
+                          state=state)
         return (ar.astype(jnp.float64), at.astype(jnp.float64), st)
     return level_adapt, "level_adapt", la
 

@@ -81,12 +81,10 @@ def ablate_basic(mb, dtype_name):
     def with_scans(r, s):
         both = jnp.stack([frames_of(r), frames_of(s)])
         power, weighted, unsmeared, thr = FE.stateless(k, both)
-        exc = FE.time_smear(k, jnp.moveaxis(unsmeared, 2, 0), axis=0)
-        exc = jnp.moveaxis(exc, 0, 2)
-        ar, at, _ = jax.vmap(lambda a, b: level_adapt.level_adapt(
-            k.adapt_a, avg, a, b))(exc[0], exc[1])
-        mr, al, _ = jax.vmap(lambda u: MP.modulation(k.adapt_a, u, 1024))(
-            unsmeared[0])
+        uns_t = jnp.moveaxis(unsmeared, 2, -1)      # [2, B, CH?, Z, F]
+        exc = FE.time_smear(k, uns_t, axis=-1)
+        ar, at, _ = level_adapt.level_adapt(k.adapt_a, avg, exc[0], exc[1])
+        mr, al, _ = MP.modulation(k.adapt_a, uns_t[0], 1024)
         return ar.sum((-1, -2, -3)), mr.sum((-1, -2, -3))
 
     timeit("+smear+adapt+mod scans", with_scans, ref_sig, test_sig)

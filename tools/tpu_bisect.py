@@ -48,25 +48,22 @@ def ear_smear(ref):
 def adapt(ref):
     both = jnp.stack([frames(ref)] * 2)
     _, _, unsmeared, _ = FE.stateless(k, both)
-    exc = jnp.moveaxis(FE.time_smear(
-        k, jnp.moveaxis(unsmeared, 2, 0), axis=0), 0, 2)
-    ar, at, _ = jax.vmap(
-        lambda a, b: level_adapt.level_adapt(k.adapt_a, avg, a, b))(
-            exc[:, 0], exc[:, 1])
-    mr, al, _ = jax.vmap(
-        lambda u: MP.modulation(k.adapt_a, u, 1024))(unsmeared[:, 0])
+    uns_t = jnp.moveaxis(unsmeared, 2, -1)       # [2, B, CH, Z, F]
+    exc = FE.time_smear(k, uns_t, axis=-1)
+    ar, at, _ = level_adapt.level_adapt(k.adapt_a, avg, exc[0], exc[1])
+    mr, al, _ = MP.modulation(k.adapt_a, uns_t[0], 1024)
     return ar.sum(), mr.sum()
 
 
 def movs_stage(ref):
     both = jnp.stack([frames(ref)] * 2)
     power, weighted, unsmeared, thr = FE.stateless(k, both)
-    exc = jnp.moveaxis(FE.time_smear(
-        k, jnp.moveaxis(unsmeared, 2, 0), axis=0), 0, 2)
+    uns_t = jnp.moveaxis(unsmeared, 2, -1)
+    exc = FE.time_smear(k, uns_t, axis=-1)
     bw = MOVS.bandwidth(power[0], power[1])
     nm = MOVS.nmr(k.group_matrix, k.masking_difference, weighted[0],
-                  weighted[1], exc[0])
-    pd = jax.vmap(lambda a, b: MOVS.prob_detect(a, b))(exc[0], exc[1])
+                  weighted[1], jnp.moveaxis(exc[0], -1, -3))
+    pd = MOVS.prob_detect(exc[0], exc[1])
     eh = MOVS.ehs(weighted[0], weighted[1], thr[0], thr[1],
                   C.DEFAULT_SETTINGS, jnp.float32)
     return (bw[0].sum(), nm[0].sum(), pd[0].sum(), eh[0].sum())

@@ -79,8 +79,8 @@ DUMMIES = {
         jnp.zeros(w_r.shape[:-1], w_r.dtype),
         jnp.ones(w_r.shape[:-2], bool))),
     "prob_detect": (MOVS, "prob_detect", lambda er, et, fl: (
-        jnp.mean(er - et, axis=(-1, -2)) * 0 + 0.6,
-        jnp.mean(er - et, axis=(-1, -2)))),
+        jnp.mean(er - et, axis=(-3, -2)) * 0 + 0.6,
+        jnp.mean(er - et, axis=(-3, -2)))),
     "nmr": (MOVS, "nmr", lambda g, m, wr, wt, re, delta_weighted=None: (
         jnp.mean(wr - wt, axis=-1), jnp.mean(wr - wt, axis=-1))),
     "bandwidth": (MOVS, "bandwidth", lambda r, t: (
@@ -95,12 +95,12 @@ DUMMIES = {
     "spread": (FE, "spread", lambda k, pp, block=16: pp * 1.0001),
     "mod_diff": (MOVS, "modulation_difference",
                  lambda n, mr, mt, al, rms_mode, lev_wt: (
-                     jnp.mean(mr - mt, -1) * 100,
-                     jnp.mean(mr - mt, -1) * 10,
-                     jnp.mean(al, -1) * 0 + 1)),
+                     jnp.mean(mr - mt, -2) * 100,
+                     jnp.mean(mr - mt, -2) * 10,
+                     jnp.mean(al, -2) * 0 + 1)),
     "noise_loud": (MOVS, "noise_loudness",
                    lambda n, a, tf, s0, nlm, mr, mt, ar, at: (
-                       jnp.mean(ar - at, -1))),
+                       jnp.mean(ar - at, -2))),
     # FB-path stages (advanced mode); targets match process_signal's
     # current call chain: filter_bank_t (grouped conv) -> spread_t ->
     # back_and_forward_masking_t (all on the transposed [.., Z, I] layout)
