@@ -210,6 +210,12 @@ def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
     ref_fb = _pad_bucketed(ref, n_fb, n_fb_b, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
     test_fb = _pad_bucketed(test, n_fb, n_fb_b, C.FB_FRAMESIZE,
                             C.FB_FRAMESIZE)
+    if ref_fb.shape[-1] % (128 * 384) == 0:
+        # device-native blocked layout [CH, T/128, 128] (a free host
+        # reshape): the pipeline's FB path consumes it without the
+        # sublane-2 [CH, T] retile — see models/advanced.py
+        ref_fb = ref_fb.reshape(ref_fb.shape[0], -1, 128)
+        test_fb = test_fb.reshape(test_fb.shape[0], -1, 128)
     fn = _jitted_advanced(n_fft_b, n_fb_b, ref.shape[1], playback_level,
                           settings, dtype)
     out = fn(ref_fft, test_fft, ref_fb, test_fb,

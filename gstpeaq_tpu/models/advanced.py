@@ -97,18 +97,29 @@ def make_pipeline(playback_level: float = 92.0,
         ehs_mov = jnp.mean(accum.avg(ehs_val, one, cmf & ehs_valid[:, None]))
 
         # ------------- FB path: ModDiff / NoiseLoudAsym / LinDist ----------
-        n_fb = ref_fb.shape[-1] // C.FB_FRAMESIZE
-        above_fb = framing.above_threshold_signal(
-            ref_fb.astype(sdtype), n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+        # ref/test_fb arrive either flat [CH, T] or BLOCKED [CH, T/128, 128]
+        # (the device-native tile layout the Pallas DC kernel consumes —
+        # host-blocked shipping makes the in-graph stack tile-aligned and
+        # kills the sublane-2 retile in front of the kernel)
+        fb_blocked = ref_fb.ndim == 3
+        if fb_blocked:
+            n_fb = ref_fb.shape[-2] * 128 // C.FB_FRAMESIZE
+            above_fb = framing.above_threshold_blocked(
+                ref_fb.astype(sdtype), n_fb)
+        else:
+            n_fb = ref_fb.shape[-1] // C.FB_FRAMESIZE
+            above_fb = framing.above_threshold_signal(
+                ref_fb.astype(sdtype), n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
         if valid_fb is not None:
             above_fb = above_fb & (jnp.arange(n_fb) < valid_fb)
         _, _, committed_fb = accum.activity(above_fb)
 
-        # [2, CH, T]: both signals through ONE filter-bank pass (halves the
-        # op count of the FB front end vs separate ref/test calls); inputs
-        # are already channel-major
+        # [2, CH, ...]: both signals through ONE filter-bank pass (halves
+        # the op count of the FB front end vs separate ref/test calls);
+        # inputs are already channel-major
         both_sig = jnp.stack([ref_fb.astype(sdtype), test_fb.astype(sdtype)])
-        exc2, uns2 = FB.process_signal(kb, both_sig, n_fb)   # [2,CH,40,F]
+        exc2, uns2 = FB.process_signal(kb, both_sig, n_fb,
+                                       blocked=fb_blocked)  # [2,CH,40,F]
         # the FB chain's native transposed layout IS the MOV-tail layout:
         # no boundary transpose at all
         ref_e, test_e = exc2[0], exc2[1]

@@ -627,10 +627,14 @@ def _spread_fused(k: FBEarConsts, hp2: jnp.ndarray, hp2_hist, cu_state):
 
 
 def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
-                   state=None, return_state: bool = False):
+                   state=None, return_state: bool = False,
+                   blocked: bool = False):
     """Whole-signal / chunked FB ear model.  signal: [..., T] with
-    T = 192 * n_frames.  `state` carries (dc_state, hp2_history, cu,
-    masking_state) for streaming.  Returns (excitation, unsmeared)
+    T = 192 * n_frames — or, with `blocked=True`, the device-native
+    BLOCKED layout [..., T // 128, 128] (tile-aligned; avoids the
+    sublane-padded [.., CH, T] retile in front of the Pallas DC kernel).
+    `state` carries (dc_state, hp2_history, cu, masking_state) for
+    streaming (flat layout only).  Returns (excitation, unsmeared)
     [..., 40, F] — the transposed MOV-tail layout (bands on sublanes,
     frames on lanes), which is also the chain's native internal layout
     (+ new state when requested)."""
@@ -643,19 +647,29 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
     if use_dc is None:
         use_dc = (jnp.dtype(k.level_factor.dtype) == jnp.float32
                   and jax.default_backend() == "tpu")
-    t_sig = signal.shape[-1]
+    if blocked:
+        t_sig = signal.shape[-2] * signal.shape[-1]
+        lead_sig = signal.shape[:-2]
+    else:
+        t_sig = signal.shape[-1]
+        lead_sig = signal.shape[:-1]
     if (use_dc and state is None and not return_state
             and t_sig % (128 * 384) == 0):
         # whole-signal float32 fast path: the entire level-scale -> ff ->
-        # biquad cascade in one VMEM-resident Pallas pass (ops/pallas_dc)
+        # biquad cascade in one VMEM-resident Pallas pass (ops/pallas_dc).
+        # Blocked input reshapes to the kernel layout by flattening MAJOR
+        # dims only (free); flat input pays one retile here.  The flat
+        # hp2 view below cancels against _blocks_for_conv's re-block.
         from . import pallas_dc
         x3 = signal.astype(jnp.float32).reshape(-1, t_sig // 128, 128)
         hp2 = pallas_dc.dc_chain_blocked(
             x3, k.level_factor,
             interpret=jax.default_backend() != "tpu")
-        hp2 = hp2.reshape(*signal.shape[:-1], t_sig)
+        hp2 = hp2.reshape(*lead_sig, t_sig)
         dc_new = None
     else:
+        if blocked:
+            signal = signal.reshape(*lead_sig, t_sig)
         hp2, dc_new = dc_reject(
             signal.astype(k.level_factor.dtype) * k.level_factor,
             dc_state, True)

@@ -103,3 +103,35 @@ def above_threshold_signal(sig: jnp.ndarray, n_frames: int, frame_size: int,
         return tail_any[:n_frames]
     full_any = jnp.max(blocks, axis=1) >= C.FRAME_THRESHOLD
     return tail_any[:n_frames] | full_any[1:n_frames + 1]
+
+
+def above_threshold_blocked(sig3: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """above_threshold_signal for the FB path (frame == step == 192) on the
+    BLOCKED [CH, Tb, 128] device layout — lane shifts with a one-block
+    carry replace the flat [CH, T] form, so the sublane-padded retile of
+    the sample stream never materializes.
+
+    Same decisions as above_threshold_signal(sig, n, 192, 192): windows
+    ending at frame-local samples 0..4 are skipped by the reference
+    (src/gstpeaq.c:1080-1099), so the partial 5-sample windows at the very
+    start of the stream are never examined and need no special-casing.
+    Requires Tb % 3 == 0 (true for every Pallas-aligned FB bucket).
+    """
+    tb = sig3.shape[-2]
+    assert tb % 3 == 0, tb
+    a = jnp.abs(sig3)
+    ap = jnp.concatenate(
+        [jnp.zeros_like(a[..., :1, :]), a[..., :-1, :]], axis=-2)
+    w = a
+    for s in range(1, 5):
+        w = w + jnp.concatenate(
+            [ap[..., 128 - s:], a[..., :128 - s]], axis=-1)
+    m = jnp.max(w, axis=-3)                      # over channels: [.., Tb, 128]
+    v = m.reshape(*m.shape[:-2], tb // 3, 384)   # 3 blocks = 2 frames
+    lane = np.arange(384)
+    vm = jnp.where(jnp.asarray((lane % C.FB_FRAMESIZE) >= 5), v, 0.0)
+    f0 = jnp.max(vm[..., :C.FB_FRAMESIZE], axis=-1)
+    f1 = jnp.max(vm[..., C.FB_FRAMESIZE:], axis=-1)
+    fr = (jnp.stack([f0, f1], axis=-1).reshape(*m.shape[:-2], -1)
+          >= C.FRAME_THRESHOLD)
+    return fr[..., :n_frames]

@@ -59,9 +59,12 @@ def _shift_multiply_e0(fbr, fbi, cu, low):
     w_i = fbi
     rcu = cu
     for _ in range(Z - 1):
-        rcu = pltpu.roll(rcu, 1, axis=0)
-        w_r = jnp.where(not_row0, pltpu.roll(w_r, 1, axis=0), 0.0) * rcu
-        w_i = jnp.where(not_row0, pltpu.roll(w_i, 1, axis=0), 0.0) * rcu
+        # mask the wrap row ONCE on the rolled coefficient (zeroing rcu's
+        # row 0 zeroes both weight streams) instead of once per stream —
+        # one VPU op per step instead of two across the 39-step chain
+        rcu = jnp.where(not_row0, pltpu.roll(rcu, 1, axis=0), 0.0)
+        w_r = pltpu.roll(w_r, 1, axis=0) * rcu
+        w_i = pltpu.roll(w_i, 1, axis=0) * rcu
         acc_r = acc_r + w_r
         acc_i = acc_i + w_i
     # explicit HIGHEST: preferred_element_type sets only the OUTPUT dtype;

@@ -101,13 +101,18 @@ def compute_buckets(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
 def prepare_chunk(refs, tests, buckets):
     """Pad one chunk of [T, C] pairs to the shared `buckets` frame counts.
     Returns (ref_fft, test_fft[, ref_fb, test_fb], valid_fft[, valid_fb])
-    stacked [B, CH, T]."""
+    stacked [B, CH, T]; Pallas-aligned FB arrays ship in the blocked
+    [B, CH, T/128, 128] device layout (free host reshape — see
+    models/advanced.py)."""
     ref_fft, test_fft, valid_fft = _pad_pairwise(
         refs, tests, buckets[0], C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
     if len(buckets) == 1:
         return ref_fft, test_fft, valid_fft
     ref_fb, test_fb, valid_fb = _pad_pairwise(
         refs, tests, buckets[1], C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+    if ref_fb.shape[-1] % (128 * 384) == 0:
+        ref_fb = ref_fb.reshape(*ref_fb.shape[:-1], -1, 128)
+        test_fb = test_fb.reshape(*test_fb.shape[:-1], -1, 128)
     return ref_fft, test_fft, ref_fb, test_fb, valid_fft, valid_fb
 
 

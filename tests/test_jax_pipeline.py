@@ -149,3 +149,30 @@ def test_stereo_channel_averaging():
     stereo = api.peaq(np.stack([sa, sa], 1), np.stack([tr, tr], 1))
     # duplicated channels must give the same ODG as mono
     assert abs(mono.odg - stereo.odg) < 1e-9
+
+
+def test_blocked_fb_input_matches_flat():
+    """The blocked [CH, T/128, 128] FB input layout (host-shipped for the
+    Pallas DC fast path) must reproduce the flat [CH, T] path exactly:
+    process_signal and the data-boundary threshold test."""
+    import jax.numpy as jnp
+    from gstpeaq_tpu.ops import fb_ear as FB, framing
+
+    p = EP.fb_ear_params()
+    k = FB.build_consts(p)
+    rng = np.random.default_rng(11)
+    n_frames = 256                   # T = 49152 = 128 * 384, Pallas-aligned
+    t = 192 * n_frames
+    x = (rng.standard_normal((2, t)) * 0.3).astype(np.float64)
+    x[:, t // 2:] *= 1e-6
+    exc_f, uns_f = FB.process_signal(k, jnp.asarray(x), n_frames)
+    exc_b, uns_b = FB.process_signal(
+        k, jnp.asarray(x.reshape(2, -1, 128)), n_frames, blocked=True)
+    np.testing.assert_array_equal(np.asarray(exc_f), np.asarray(exc_b))
+    np.testing.assert_array_equal(np.asarray(uns_f), np.asarray(uns_b))
+
+    thr_f = framing.above_threshold_signal(
+        jnp.asarray(x, jnp.float32), n_frames, 192, 192)
+    thr_b = framing.above_threshold_blocked(
+        jnp.asarray(x.reshape(2, -1, 128), jnp.float32), n_frames)
+    np.testing.assert_array_equal(np.asarray(thr_f), np.asarray(thr_b))
