@@ -207,18 +207,17 @@ def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
     # 256-frame FB buckets keep n_inst % 1536 == 0 for the fused Pallas
     # spread (ops/pallas_fb.TILE_CONV); padding frames are masked
     n_fb_b = _bucket(n_fb, 256)
-    ref_fb = _pad_bucketed(ref, n_fb, n_fb_b, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
-    test_fb = _pad_bucketed(test, n_fb, n_fb_b, C.FB_FRAMESIZE,
-                            C.FB_FRAMESIZE)
-    if ref_fb.shape[-1] % (128 * 384) == 0:
-        # device-native blocked layout [CH, T/128, 128] (a free host
+    fb_pair = np.stack([
+        _pad_bucketed(ref, n_fb, n_fb_b, C.FB_FRAMESIZE, C.FB_FRAMESIZE),
+        _pad_bucketed(test, n_fb, n_fb_b, C.FB_FRAMESIZE, C.FB_FRAMESIZE)])
+    if fb_pair.shape[-1] % (128 * 384) == 0:
+        # device-native blocked layout [2, CH, T/128, 128] (a free host
         # reshape): the pipeline's FB path consumes it without the
         # sublane-2 [CH, T] retile — see models/advanced.py
-        ref_fb = ref_fb.reshape(ref_fb.shape[0], -1, 128)
-        test_fb = test_fb.reshape(test_fb.shape[0], -1, 128)
+        fb_pair = fb_pair.reshape(*fb_pair.shape[:-1], -1, 128)
     fn = _jitted_advanced(n_fft_b, n_fb_b, ref.shape[1], playback_level,
                           settings, dtype)
-    out = fn(ref_fft, test_fft, ref_fb, test_fb,
+    out = fn(ref_fft, test_fft, fb_pair,
              np.int32(n_fft), np.int32(n_fb))
     movs = {name: float(v)
             for name, v in zip(C.MOV_ADVANCED_NAMES, np.asarray(out.movs))}

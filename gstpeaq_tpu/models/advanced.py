@@ -40,9 +40,12 @@ def make_pipeline(playback_level: float = 92.0,
                   fft_spectra: bool = False):
     """Build the jittable advanced pipeline closure.
 
-    Returns fn(ref_fft, test_fft, ref_fb, test_fb), channel-major:
+    Returns fn(ref_fft, test_fft, fb_pair), channel-major:
       ref/test_fft: [CH, (F_fft + 1) * 1024] float32 (zero-padded)
-      ref/test_fb:  [CH, F_fb * 192] float32 (zero-padded)
+      fb_pair:      [2, CH, F_fb * 192] float32 (ref/test stacked on the
+                    leading axis BY THE HOST — a device-side stack of two
+                    transferred arrays was ~0.8 ms/iter of pure copy), or
+                    the blocked [2, CH, T/128, 128] device-tile layout
     """
     sdtype = spectrum_dtype or dtype
     fft_params = EP.fft_ear_params(C.ADVANCED_FFT_BAND_COUNT, playback_level)
@@ -60,7 +63,7 @@ def make_pipeline(playback_level: float = 92.0,
         level_adapt.sliding_average_matrix(C.FB_BAND_COUNT), dtype=dtype)
     consts = (kf0, kb0, avg_matrix0)
 
-    def pipeline(consts, ref_fft, test_fft, ref_fb, test_fb,
+    def pipeline(consts, ref_fft, test_fft, fb_pair,
                  valid_fft=None, valid_fb=None) -> AdvancedOutputs:
         kf, kb, avg_matrix = consts
         # ------------------ FFT path: SegmentalNMR + EHS ------------------
@@ -97,11 +100,13 @@ def make_pipeline(playback_level: float = 92.0,
         ehs_mov = jnp.mean(accum.avg(ehs_val, one, cmf & ehs_valid[:, None]))
 
         # ------------- FB path: ModDiff / NoiseLoudAsym / LinDist ----------
-        # ref/test_fb arrive either flat [CH, T] or BLOCKED [CH, T/128, 128]
-        # (the device-native tile layout the Pallas DC kernel consumes —
-        # host-blocked shipping makes the in-graph stack tile-aligned and
-        # kills the sublane-2 retile in front of the kernel)
-        fb_blocked = ref_fb.ndim == 3
+        # fb_pair arrives ref/test-stacked [2, CH, T] flat or BLOCKED
+        # [2, CH, T/128, 128] (the device-native tile layout the Pallas DC
+        # kernel consumes — host-blocked shipping makes the FB front end
+        # tile-aligned and kills the sublane-2 retile in front of the
+        # kernel); the threshold test reads only the ref slice
+        fb_blocked = fb_pair.ndim == 4
+        ref_fb = fb_pair[0]
         if fb_blocked:
             n_fb = ref_fb.shape[-2] * 128 // C.FB_FRAMESIZE
             above_fb = framing.above_threshold_blocked(
@@ -116,9 +121,8 @@ def make_pipeline(playback_level: float = 92.0,
 
         # [2, CH, ...]: both signals through ONE filter-bank pass (halves
         # the op count of the FB front end vs separate ref/test calls);
-        # inputs are already channel-major
-        both_sig = jnp.stack([ref_fb.astype(sdtype), test_fb.astype(sdtype)])
-        exc2, uns2 = FB.process_signal(kb, both_sig, n_fb,
+        # already pair-stacked and channel-major from the host
+        exc2, uns2 = FB.process_signal(kb, fb_pair.astype(sdtype), n_fb,
                                        blocked=fb_blocked)  # [2,CH,40,F]
         # the FB chain's native transposed layout IS the MOV-tail layout:
         # no boundary transpose at all

@@ -47,33 +47,40 @@ def _jitted_advanced_batch(playback_level: float, settings: C.Settings,
     pipe, consts = advanced.make_pipeline(
         playback_level, settings, dtype, sdtype,
         fft_spectra=api.use_fft_spectra(dtype_name))
-    jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0, 0, 0, 0)))
+    jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0, 0, 0)))
     return lambda *args: jfn(consts, *args)
 
 
-def _pad_pairwise(refs, tests, n_bucket, frame_size, step_size):
+def _pad_pairwise(refs, tests, n_bucket, frame_size, step_size,
+                  paired: bool = False):
     """Truncate each pair at its *own* flush-frame boundary (audio past the
     flush frame is dropped by the reference, src/gstpeaq.c:715-745), then
     zero-extend to the bucket frame count — the padding frames are silent and
     thus auto-masked by the tentative accumulator semantics.  Output is
-    CHANNEL-MAJOR [B, CH, T] (the device layout)."""
+    CHANNEL-MAJOR: ([B, CH, T], [B, CH, T], valid) or, with `paired`, one
+    ref/test-stacked ([B, 2, CH, T], valid) written in place (the advanced
+    pipeline consumes the pair-stacked layout; stacking on the device cost
+    ~0.8 ms/iter of copy)."""
     length = framing.padded_length(n_bucket, frame_size, step_size)
-
-    def prep(sig, own_frames):
-        own = framing.pad_signal(sig, own_frames, frame_size, step_size)
-        out = np.zeros((sig.shape[1], length), dtype=np.float32)
-        out[:, :own.shape[0]] = own.T
-        return out
-
-    out_r, out_t, valids = [], [], []
-    for r, t in zip(refs, tests):
+    ch = refs[0].shape[1]
+    b = len(refs)
+    if paired:
+        out = np.zeros((b, 2, ch, length), dtype=np.float32)
+        out_r, out_t = out[:, 0], out[:, 1]
+    else:
+        out_r = np.zeros((b, ch, length), dtype=np.float32)
+        out_t = np.zeros((b, ch, length), dtype=np.float32)
+    valids = np.empty((b,), dtype=np.int32)
+    for i, (r, t) in enumerate(zip(refs, tests)):
         n_own = framing.num_frames(r.shape[0], t.shape[0], frame_size,
                                    step_size)
-        out_r.append(prep(r, n_own))
-        out_t.append(prep(t, n_own))
-        valids.append(n_own)
-    return (np.stack(out_r), np.stack(out_t),
-            np.asarray(valids, dtype=np.int32))
+        for sig, dst in ((r, out_r), (t, out_t)):
+            own = framing.pad_signal(sig, n_own, frame_size, step_size)
+            dst[i, :, :own.shape[0]] = own.T
+        valids[i] = n_own
+    if paired:
+        return out, valids
+    return out_r, out_t, valids
 
 
 def compute_buckets(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
@@ -100,20 +107,21 @@ def compute_buckets(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
 
 def prepare_chunk(refs, tests, buckets):
     """Pad one chunk of [T, C] pairs to the shared `buckets` frame counts.
-    Returns (ref_fft, test_fft[, ref_fb, test_fb], valid_fft[, valid_fb])
-    stacked [B, CH, T]; Pallas-aligned FB arrays ship in the blocked
-    [B, CH, T/128, 128] device layout (free host reshape — see
+    Returns (ref_fft, test_fft[, fb_pair], valid_fft[, valid_fb]) with
+    ref/test_fft stacked [B, CH, T] and fb_pair ref/test-stacked
+    [B, 2, CH, T]; Pallas-aligned FB arrays ship in the blocked
+    [B, 2, CH, T/128, 128] device layout (free host reshape — see
     models/advanced.py)."""
     ref_fft, test_fft, valid_fft = _pad_pairwise(
         refs, tests, buckets[0], C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
     if len(buckets) == 1:
         return ref_fft, test_fft, valid_fft
-    ref_fb, test_fb, valid_fb = _pad_pairwise(
-        refs, tests, buckets[1], C.FB_FRAMESIZE, C.FB_FRAMESIZE)
-    if ref_fb.shape[-1] % (128 * 384) == 0:
-        ref_fb = ref_fb.reshape(*ref_fb.shape[:-1], -1, 128)
-        test_fb = test_fb.reshape(*test_fb.shape[:-1], -1, 128)
-    return ref_fft, test_fft, ref_fb, test_fb, valid_fft, valid_fb
+    fb_pair, valid_fb = _pad_pairwise(
+        refs, tests, buckets[1], C.FB_FRAMESIZE, C.FB_FRAMESIZE,
+        paired=True)
+    if fb_pair.shape[-1] % (128 * 384) == 0:
+        fb_pair = fb_pair.reshape(*fb_pair.shape[:-1], -1, 128)
+    return ref_fft, test_fft, fb_pair, valid_fft, valid_fb
 
 
 def prepare_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],

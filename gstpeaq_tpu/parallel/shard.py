@@ -48,7 +48,7 @@ def _jitted_sharded(advanced: bool, playback_level: float,
         pipe, consts = mod.make_pipeline(
             playback_level, settings, dtype, sdtype,
             fft_spectra=api.use_fft_spectra(dtype_name))
-        in_axes = (None, 0, 0, 0, 0, 0, 0)
+        in_axes = (None, 0, 0, 0, 0, 0)
     else:
         from ..models import basic as mod
         pipe, consts = mod.make_pipeline(

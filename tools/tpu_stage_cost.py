@@ -42,7 +42,7 @@ def build(dtype_name, mode="basic"):
     if mode == "advanced":
         pipe, consts = advanced.make_pipeline(
             92.0, C.DEFAULT_SETTINGS, dtype, sdtype)
-        jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0, 0, 0, 0)))
+        jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0, 0, 0)))
     else:
         pipe, consts = basic.make_pipeline(
             C.BASIC_BAND_COUNT, 92.0, C.DEFAULT_SETTINGS, dtype, sdtype)
