@@ -596,7 +596,14 @@ def _spread_fused(k: FBEarConsts, hp2: jnp.ndarray, hp2_hist, cu_state):
     Pallas spread_from_conv.  Only the slope drive is ever transposed to
     the [Z, I] layout in XLA (one array instead of fb_re + fb_im), and the
     fb de-interleave happens on VMEM tiles inside the kernel.
-    Returns (e0 [.., Z, I], cu_last [.., Z])."""
+    Returns (e0 [.., Z, I], cu_last [.., Z]).
+
+    NOTE (measured, round 3): contracting E0 into the back-masking frame
+    sums INSIDE the kernel (a dense [Z, 1536] x [1536, 512] scatter dot
+    against static tap weights) LOST ~1.7 ms/iter: with M = Z = 40 the
+    HIGHEST-precision dot runs the MXU at ~31% row utilization, costing
+    ~4 ms against the ~2.5 ms of XLA unsplit + frame-reduce passes it
+    replaced.  The e0 -> XLA frame-sum form below is the faster one."""
     from . import pallas_fb
     interp = jax.default_backend() != "tpu"
     blocks, front, n_inst, ti, lead = _blocks_for_conv(hp2, hp2_hist)

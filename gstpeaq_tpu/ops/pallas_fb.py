@@ -168,7 +168,9 @@ def _make_slope_kernel(group_sizes, log_dist, a):
                c3_ref):
         rows = TILE_CONV // 4
         fbr, fbi = _deinterleave((o1_ref, o2_ref, o3_ref), group_sizes)
-        level = (10.0 / np.log(10.0)) * jnp.log(fbr * fbr + fbi * fbi)
+        # float(): a bare np.float64 scalar is STRONG-typed and silently
+        # promotes the whole chain to f64 under x64 (CPU interpret tests)
+        level = float(10.0 / np.log(10.0)) * jnp.log(fbr * fbr + fbi * fbi)
         s = jnp.maximum(4.0, c1b_ref[:, :1] - 0.2 * level)
         dist = jnp.exp(log_dist * s)               # [Z, 4 * rows]
         b = (1.0 - a) * dist
@@ -221,6 +223,15 @@ def slope_prefixes_from_conv(o1, o2, o3, c1_band, slope_a, n_inst: int,
             transcendentals=2 * Z * n_inst * n),
     )(*os_, c1b)
     return tuple(o.reshape(*lead, Z, ti) for o in outs)
+
+
+# NOTE (measured, round 3): a masksum kernel variant that contracted E0
+# into the back-masking frame sums in-kernel (dense [Z, 1536] x [1536, 512]
+# scatter dot against the static tap weights, HIGHEST — Mosaic rejects
+# HIGH) was tried and REVERTED: with M = Z = 40 the MXU runs at ~31% row
+# utilization, so the dot cost ~4 ms/iter against the ~2.5 ms of XLA
+# unsplit + frame-reduce passes it replaced (advanced 4687 -> 4469 a-s/s).
+# See git history for the implementation.
 
 
 @functools.partial(jax.jit, static_argnames=("n_inst", "interpret"))

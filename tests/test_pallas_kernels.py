@@ -36,6 +36,37 @@ def test_dc_chain_kernel_matches_xla():
     assert abs(got.mean()) < 1e-3 * scale
 
 
+def test_process_signal_fused_spread_path(monkeypatch):
+    """The fused Pallas spread path (slope-prefix kernel + conv
+    de-interleave + shift-multiply spreading, forced + interpret on CPU)
+    agrees with the XLA spread_t / back_and_forward_masking_t chain.  The
+    kernels change only summation order (shift chain vs exp form), so
+    agreement is at f32-reordering level."""
+    p = EP.fb_ear_params()
+    k = FB.build_consts(p, dtype=jnp.float32)
+    n_frames = 256                      # n_inst = 1536 -> kernel-aligned
+    t = 192 * n_frames
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((2, t)) * 0.2).astype(np.float32)
+    x[1] *= 0.5
+    xj = jnp.asarray(x, jnp.float32)
+
+    monkeypatch.setattr(FB, "USE_PALLAS_DC", False)
+    monkeypatch.setattr(FB, "USE_PALLAS_SPREAD", False)
+    exc_ref, uns_ref = FB.process_signal(k, xj, n_frames)
+
+    monkeypatch.setattr(FB, "USE_PALLAS_SPREAD", True)
+    exc_got, uns_got = FB.process_signal(k, xj, n_frames)
+    exc_st, uns_st, _ = FB.process_signal(k, xj, n_frames,
+                                          return_state=True)
+
+    for ref, got in ((exc_ref, exc_got), (uns_ref, uns_got),
+                     (exc_ref, exc_st), (uns_ref, uns_st)):
+        ref = np.asarray(ref)
+        got = np.asarray(got)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
 def test_process_signal_pallas_dc_path(monkeypatch):
     """process_signal takes the Pallas DC fast path (forced, interpret on
     CPU) and agrees with the default XLA chain end to end."""
