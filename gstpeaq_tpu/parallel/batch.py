@@ -74,9 +74,14 @@ def _pad_pairwise(refs, tests, n_bucket, frame_size, step_size,
     for i, (r, t) in enumerate(zip(refs, tests)):
         n_own = framing.num_frames(r.shape[0], t.shape[0], frame_size,
                                    step_size)
+        # direct truncate-at-own-flush + transpose write: the former
+        # pad_signal intermediate buffer DOUBLED the host copy volume,
+        # and host prep — not the device — bounds sweep throughput on
+        # few-core hosts (190 -> ~75 ms per 16-pair advanced chunk)
+        own_len = framing.padded_length(n_own, frame_size, step_size)
         for sig, dst in ((r, out_r), (t, out_t)):
-            own = framing.pad_signal(sig, n_own, frame_size, step_size)
-            dst[i, :, :own.shape[0]] = own.T
+            take = min(own_len, sig.shape[0])
+            dst[i, :, :take] = sig[:take].T
         valids[i] = n_own
     if paired:
         return out, valids
@@ -137,15 +142,25 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
                advanced: bool = False, playback_level: float = 92.0,
                settings: C.Settings = C.DEFAULT_SETTINGS,
                dtype: str | None = None, granularity: int = 64,
-               microbatch: int = 8):
+               microbatch: int = 8, prefetch_gb: float = 6.0):
     """Compute ODG/DI for a batch of pairs on the current default device.
 
     refs/tests: sequences of [T] or [T, C] float arrays (48 kHz).  The batch
     is processed in `microbatch`-sized device invocations to bound HBM
     footprint (activations scale with pairs x frames); the last chunk is
     padded with duplicates (discarded).
+
+    Transfer discipline (measured on the tunneled axon backend, but sound
+    everywhere): all input chunks are shipped with explicit device_put —
+    the implicit jit-argument path moved numpy operands at ~0.04 GB/s vs
+    ~1.6 GB/s — and, when the padded batch fits `prefetch_gb`, every chunk
+    is transferred BEFORE the first dispatch: on axon, host->device puts
+    run at full rate only until the first program executes (~25x slower
+    after), so a transfer-first sweep rides the fast window.  Batches
+    exceeding the budget fall back to interleaved prep/put/dispatch.
     Returns dict with 'odg' [B], 'di' [B], 'movs' [B, M] numpy arrays.
     """
+    import jax
     from .. import api
     api.enable_compile_cache()
     refs = [api._as_2d_f32(r) for r in refs]
@@ -158,22 +173,40 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
         fn = _jitted_basic_batch(playback_level, settings, dtype)
     n = len(refs)
     mb = min(microbatch, n) if microbatch else n
+
+    def chunks_np():
+        for start in range(0, n, mb):
+            # host padding happens PER MICROBATCH (sweep-scale batches
+            # would otherwise hold a second fully-padded copy of the
+            # whole corpus)
+            r_chunk = refs[start:start + mb]
+            t_chunk = tests[start:start + mb]
+            pad = mb - len(r_chunk)
+            if pad:
+                r_chunk = list(r_chunk) + [r_chunk[-1]] * pad
+                t_chunk = list(t_chunk) + [t_chunk[-1]] * pad
+            yield prepare_chunk(r_chunk, t_chunk, buckets), mb - pad
+
+    bytes_per_pair = 4.0 * 2 * refs[0].shape[1] * (
+        framing.padded_length(buckets[0], C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+        + (framing.padded_length(buckets[1], C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+           if advanced else 0))
+    prefetch = (-(-n // mb) * mb) * bytes_per_pair <= prefetch_gb * 1e9
+
     outs, takes = [], []
-    for start in range(0, n, mb):
-        # host padding happens PER MICROBATCH (sweep-scale batches would
-        # otherwise hold a second fully-padded copy of the whole corpus)
-        r_chunk = refs[start:start + mb]
-        t_chunk = tests[start:start + mb]
-        pad = mb - len(r_chunk)
-        if pad:
-            r_chunk = list(r_chunk) + [r_chunk[-1]] * pad
-            t_chunk = list(t_chunk) + [t_chunk[-1]] * pad
-        chunk = prepare_chunk(r_chunk, t_chunk, buckets)
-        # dispatch every chunk before materializing any result: a host
-        # round trip on this backend is ~29 ms, and syncing inside the
-        # dispatch loop would serialize it with the device compute
-        outs.append(fn(*chunk))
-        takes.append(mb - pad)
+    if prefetch:
+        staged = [([jax.device_put(a) for a in chunk], take)
+                  for chunk, take in chunks_np()]
+        for chunk, take in staged:
+            # dispatch every chunk before materializing any result: a
+            # host round trip on this backend is ~29 ms, and syncing
+            # inside the dispatch loop would serialize it with compute
+            outs.append(fn(*chunk))
+            takes.append(take)
+    else:
+        for chunk, take in chunks_np():
+            outs.append(fn(*[jax.device_put(a) for a in chunk]))
+            takes.append(take)
     return {
         "odg": np.concatenate([np.asarray(o.odg)[:t]
                                for o, t in zip(outs, takes)]),

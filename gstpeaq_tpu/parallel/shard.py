@@ -96,6 +96,12 @@ def peaq_sharded(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
     key = _mesh_key(mesh)
     _MESHES[key] = mesh
     fn = _jitted_sharded(advanced, playback_level, settings, dtype, key)
+    # explicit sharded device_put: the implicit jit-argument transfer is
+    # ~46x slower on the tunneled backend (see batch.peaq_batch)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P(PAIR_AXIS))
+    arrays = [jax.device_put(a, sh) for a in arrays]
     out = fn(*arrays)
     return {
         "odg": np.asarray(out.odg)[:n],
