@@ -68,7 +68,7 @@ def make_pipeline(playback_level: float = 92.0,
         kf, kb, avg_matrix = consts
         # ------------------ FFT path: SegmentalNMR + EHS ------------------
         n_fft = ref_fft.shape[-1] // C.FFT_STEPSIZE - 1
-        rblocks = framing.blocks_hop(ref_fft, n_fft)   # [F+1,CH,1024]
+        rblocks = framing.blocks_hop(ref_fft, n_fft)   # [CH,F+1,1024]
         tblocks = framing.blocks_hop(test_fft, n_fft)
         above_fft = framing.above_threshold_signal(
             ref_fft.astype(sdtype), n_fft, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
@@ -81,18 +81,21 @@ def make_pipeline(playback_level: float = 92.0,
         power, weighted, unsmeared, thresh, delta_w = FE.stateless_pair_hop(
             kf, rblocks, tblocks)
         # only the REF smeared excitation is consumed (NMR masking); smear
-        # it alone in the transposed layout and hand nmr the frame-major view
-        ref_u_t = jnp.moveaxis(unsmeared[0], -3, -1)      # [CH, Z, F]
-        ref_exc = jnp.moveaxis(FE.time_smear(kf, ref_u_t, axis=-1), -1, -3)
+        # it alone in the transposed layout and hand nmr the [CH, F, Z] view
+        ref_u_t = jnp.swapaxes(unsmeared[0], -1, -2)      # [CH, Z, F]
+        ref_exc = jnp.swapaxes(FE.time_smear(kf, ref_u_t, axis=-1), -1, -2)
         hi = kf.group_bin_hi
+        fmv = lambda x: jnp.swapaxes(x, -1, -2)   # [CH,F] -> accum [F,CH]
         nmr_mean, _ = MOVS.nmr(kf.group_matrix[:hi], kf.masking_difference,
                                weighted[0][..., :hi], weighted[1][..., :hi],
                                ref_exc, delta_weighted=delta_w)
+        nmr_mean = fmv(nmr_mean)
         ehs_val, ehs_valid = MOVS.ehs(
             weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if kf.ehs_fwd is None else
             (kf.ehs_fwd, kf.ehs_inv_re, kf.ehs_inv_im, kf.ehs_fwd2),
             delta_weighted=delta_w)
+        ehs_val = fmv(ehs_val)
         cmf = committed_fft[:, None]
         one = jnp.ones_like(nmr_mean)
         seg_nmr = jnp.mean(accum.avg(
@@ -188,11 +191,11 @@ def make_pipeline(playback_level: float = 92.0,
         di = nn.di_advanced(mov_vec, settings.clamp_movs)
         odg = nn.odg(di)
 
-        # first half of frame f = hop block f  ([F, CH, 1024])
-        rhalf = rblocks[:-1].astype(sdtype)
-        nhalf = rhalf - tblocks[:-1].astype(sdtype)
+        # first half of frame f = hop block f  ([CH, F, 1024])
+        rhalf = rblocks[..., :-1, :].astype(sdtype)
+        nhalf = rhalf - tblocks[..., :-1, :].astype(sdtype)
         if fft_frame_valid is not None:
-            sel = fft_frame_valid[:, None, None]
+            sel = fft_frame_valid[:, None]
             rhalf = jnp.where(sel, rhalf, 0.0)
             nhalf = jnp.where(sel, nhalf, 0.0)
         rsum = jnp.sum(rhalf ** 2)

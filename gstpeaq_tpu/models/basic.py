@@ -69,9 +69,8 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         # contiguous minor: [T, CH]'s 2-lane transposes cost ~3 ms/iter)
         k, avg_matrix = consts
         n_frames = ref_sig.shape[-1] // C.FFT_STEPSIZE - 1
-        ref_blocks = framing.blocks_hop(ref_sig, n_frames)  # [F+1,CH,1024]
+        ref_blocks = framing.blocks_hop(ref_sig, n_frames)  # [CH,F+1,1024]
         test_blocks = framing.blocks_hop(test_sig, n_frames)
-        channels = ref_blocks.shape[1]
 
         above = framing.above_threshold_signal(
             ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE,
@@ -93,10 +92,12 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
 
         # ---- stage B: scans over the frame axis ----
         # transposed MOV-tail layout [2, CH, Z, F]: bands on sublanes,
-        # frames on lanes — ONE boundary transpose here replaces the
-        # moveaxis pair around every banded recurrence and the Z->128
-        # lane padding of every elementwise tail op
-        uns_t = jnp.moveaxis(unsmeared, -3, -1)  # [2,CH,Z,F]
+        # frames on lanes — ONE boundary transpose (of the small
+        # band-domain tensor; the 1025-bin spectra stay channel-major
+        # with no transpose at all) replaces the moveaxis pair around
+        # every banded recurrence and the Z->128 lane padding of every
+        # elementwise tail op
+        uns_t = jnp.swapaxes(unsmeared, -1, -2)  # [2,CH,Z,F]
         exc = FE.time_smear(k, uns_t, axis=-1)
         ref_e, test_e = exc[0], exc[1]           # [CH,Z,F]
         adapted_ref, adapted_test, _ = level_adapt.level_adapt(
@@ -119,8 +120,8 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         md_gate = f_idx >= 24
 
         # ---- stage C: per-frame MOV terms ----
-        # band-domain terms come out [CH, F]; the tiny accum boundary
-        # transposes them to the accumulators' frame-major [F, CH]
+        # everything comes out channel-major [CH, F]; the tiny accum
+        # boundary transposes to the accumulators' frame-major [F, CH]
         fm = lambda x: jnp.swapaxes(x, -1, -2)
         md1, md2, temp_wt = (fm(x) for x in MOVS.modulation_difference(
             k.internal_noise, mod_ref, mod_test, avg_loud_ref,
@@ -128,13 +129,14 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         nl = fm(MOVS.noise_loudness(
             k.internal_noise, 1.5, 0.15, 0.5, 0.0, mod_ref, mod_test,
             adapted_ref, adapted_test))
-        bw_ref, bw_test, bw_valid = MOVS.bandwidth(ref_p, test_p)
+        bw_ref, bw_test, bw_valid = (
+            fm(x) for x in MOVS.bandwidth(ref_p, test_p))
         hi = k.group_bin_hi
-        nmr_mean, disturbed = MOVS.nmr(
+        nmr_mean, disturbed = (fm(x) for x in MOVS.nmr(
             k.group_matrix[:hi], k.masking_difference,
             ref_w[..., :hi], test_w[..., :hi],
-            jnp.moveaxis(ref_e, -1, -3),       # frame-major for the
-            delta_weighted=delta_w)            # bin-domain quotient
+            jnp.swapaxes(ref_e, -1, -2),       # [CH, F, Z] for the
+            delta_weighted=delta_w))           # bin-domain quotient
         p_bin, steps_bin = MOVS.prob_detect(
             ref_e, test_e, settings.use_floor_for_steps_above_threshold)
         ehs_val, ehs_valid = MOVS.ehs(
@@ -142,6 +144,7 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
             ehs_mats=None if k.ehs_fwd is None else
             (k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im, k.ehs_fwd2),
             delta_weighted=delta_w)
+        ehs_val = fm(ehs_val)
 
         # ---- accumulate (channel means where multichannel) ----
         cm = committed[:, None]
@@ -170,11 +173,11 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         odg = nn.odg(di)
 
         # totalsnr bookkeeping; src/gstpeaq.c:913-918
-        # first half of frame f = hop block f  ([F, CH, 1024])
-        rhalf = ref_blocks[:-1].astype(sdtype)
-        nhalf = rhalf - test_blocks[:-1].astype(sdtype)
+        # first half of frame f = hop block f  ([CH, F, 1024])
+        rhalf = ref_blocks[..., :-1, :].astype(sdtype)
+        nhalf = rhalf - test_blocks[..., :-1, :].astype(sdtype)
         if frame_valid is not None:
-            sel = frame_valid[:, None, None]
+            sel = frame_valid[:, None]
             rhalf = jnp.where(sel, rhalf, 0.0)
             nhalf = jnp.where(sel, nhalf, 0.0)
         rsum = jnp.sum(rhalf ** 2)

@@ -86,7 +86,8 @@ def nmr(group_matrix: jnp.ndarray, masking_difference: jnp.ndarray,
         ref_excitation: jnp.ndarray, delta_weighted=None):
     """NMR per frame + disturbed-frame flag; src/movs.c:970-1023.
 
-    ref/test_weighted: [..., 1025], ref_excitation: [..., Z].
+    ref/test_weighted: [..., 1025], ref_excitation: [..., Z]
+    (leading axes arbitrary; the pipelines pass [CH, F, ...]).
     `delta_weighted` (optional): accurately-cancelled wr - wt from
     fft_ear.stateless_pair_hop (grouping-supported bins only — slice the
     weighted spectra and group_matrix to k.group_bin_hi to match); the
@@ -151,8 +152,9 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
         settings: C.Settings, dtype, ehs_mats=None, delta_weighted=None):
     """Error harmonic structure per frame; src/movs.c:1345-1443.
 
-    ref/test_weighted: [F, C, 1025]; ref/test_thresh: [F, C] bool.
-    Returns (ehs_value [F, C], valid [F]).  The value is garbage (zeros by
+    ref/test_weighted: [CH, F, 1025]; ref/test_thresh: [CH, F] bool
+    (channel-major like the whole FFT bin-domain path).  Returns
+    (ehs_value [CH, F], valid [F]).  The value is garbage (zeros by
     construction of the NaN-proof max) on frames where valid is False; the
     accumulator mask must apply `valid`.
 
@@ -175,7 +177,7 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
     error is ~eps.  The two branches agree to ~eps at the 0.5 crossover.
     """
     n = C.MAXLAG
-    valid = jnp.any(ref_thresh | test_thresh, axis=-1)
+    valid = jnp.any(ref_thresh | test_thresh, axis=-2)  # over channels
     rw = ref_weighted[..., :2 * n]
     tw = test_weighted[..., :2 * n]
     if delta_weighted is not None:

@@ -316,11 +316,12 @@ def stateless(k: FFTEarConsts, frames: jnp.ndarray):
 
 
 def _spec_ri_hop(k: FFTEarConsts, blocks: jnp.ndarray) -> jnp.ndarray:
-    """Windowed rDFT of hop blocks [..., F + 1, CH, 1024] as stacked
-    real/imag parts [..., F, CH, 2050]: two half-frame GEMMs
-    spec = b0 @ W[:1024] + b1 @ W[1024:] (frame f = blocks[f]|blocks[f+1])."""
-    b0 = blocks[..., :-1, :, :]
-    b1 = blocks[..., 1:, :, :]
+    """Windowed rDFT of hop blocks [..., CH, F + 1, 1024] as stacked
+    real/imag parts [..., CH, F, 2050]: two half-frame GEMMs
+    spec = b0 @ W[:1024] + b1 @ W[1024:] (frame f = blocks[.., f] |
+    blocks[.., f+1]); channel-major throughout (see framing.blocks_hop)."""
+    b0 = blocks[..., :-1, :]
+    b1 = blocks[..., 1:, :]
     hop = C.FFT_STEPSIZE
     if k.dft_matrix is not None:
         return (jnp.dot(b0, k.dft_matrix[:hop], precision=k.dft_precision)
@@ -352,10 +353,11 @@ def stateless_pair_hop(k: FFTEarConsts, ref_blocks: jnp.ndarray,
     tiers' ODG drift on near-transparent pairs (~9% relative NMR error).
     Only grouping-supported bins (group_bin_hi, ~18 kHz) are kept.
 
-    ref/test_blocks: [..., F + 1, CH, 1024] hop blocks.  Returns
+    ref/test_blocks: [..., CH, F + 1, 1024] hop blocks (channel-major,
+    see framing.blocks_hop).  Returns
     (power, weighted, unsmeared, energy_threshold, delta_weighted) with
-    the first four stacked [2(ref,test), ..., F, CH, :] and
-    delta_weighted [..., F, CH, group_bin_hi].
+    the first four stacked [2(ref,test), ..., CH, F, :] and
+    delta_weighted [..., CH, F, group_bin_hi].
     """
     sdtype = k.hann.dtype
     bdtype = k.internal_noise.dtype
@@ -373,7 +375,7 @@ def stateless_pair_hop(k: FFTEarConsts, ref_blocks: jnp.ndarray,
     weighted = power * k.om_weight
     band_power = group_into_bands(k, weighted).astype(bdtype)
     unsmeared = spread(k, band_power + k.internal_noise)
-    energy = jnp.sum(jnp.stack([ref, test])[..., 1:, :, :] ** 2, axis=-1)
+    energy = jnp.sum(jnp.stack([ref, test])[..., 1:, :] ** 2, axis=-1)
     threshold_reached = energy >= C.EHS_ENERGY_THRESHOLD
     s_ri = r_ri + t_ri
     delta_power = (d_ri[..., :hi] * s_ri[..., :hi]

@@ -51,18 +51,20 @@ def frames_overlap50(sig: jnp.ndarray, n_frames: int) -> jnp.ndarray:
 
 
 def blocks_hop(sig: jnp.ndarray, n_frames: int) -> jnp.ndarray:
-    """[CH, T] -> [F + 1, CH, 1024] hop-sized blocks for the FFT ear model:
-    frame f = blocks[f] | blocks[f + 1].  Keeping the 50%-overlap implicit
-    (fft_ear.stateless_pair_hop contracts the two halves with split DFT
-    matrices) avoids materializing the 2x-duplicated frame tensor — the
-    overlap copies were ~27% of the basic pipeline's device time.
-    Channel-major input keeps the 1024-sample minor axis contiguous: the
-    former [T, C] layout's 2-lane channel transpose was ~3 ms/iter of
-    gather in the advanced profile."""
+    """[CH, T] -> [CH, F + 1, 1024] hop-sized blocks for the FFT ear
+    model: frame f = blocks[:, f] | blocks[:, f + 1].  Keeping the
+    50%-overlap implicit (fft_ear.stateless_pair_hop contracts the two
+    halves with split DFT matrices) avoids materializing the
+    2x-duplicated frame tensor — the overlap copies were ~27% of the
+    basic pipeline's device time.  Channel-major throughout: a pure
+    reshape of the [CH, T] device layout (the former frame-major
+    [F+1, CH, 1024] moveaxis was a real ~67 MB transpose per
+    16-pair iter, hlo profile round 3); per-frame MOV values transpose
+    to the accumulators' frame-major [F, CH] only at the tiny accum
+    boundary."""
     hop = C.FFT_STEPSIZE
     ch = sig.shape[0]
-    blocks = sig[:, :(n_frames + 1) * hop].reshape(ch, n_frames + 1, hop)
-    return jnp.moveaxis(blocks, 0, 1)                  # [F + 1, CH, 1024]
+    return sig[:, :(n_frames + 1) * hop].reshape(ch, n_frames + 1, hop)
 
 
 def frames_disjoint(sig: jnp.ndarray, n_frames: int,

@@ -106,7 +106,7 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         power, weighted, unsmeared, thresh, delta_w = FE.stateless_pair_hop(
             k, ref_blocks, test_blocks)
         # transposed MOV-tail layout [2, CH, Z, F] (see models/basic.py)
-        uns_t = jnp.moveaxis(unsmeared, -3, -1)
+        uns_t = jnp.swapaxes(unsmeared, -1, -2)
         exc, smear_new = FE.time_smear(
             k, uns_t, axis=-1, state=state["smear"], return_state=True)
         ref_e, test_e = exc[0], exc[1]
@@ -134,12 +134,13 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         nl = fm(MOVS.noise_loudness(
             k.internal_noise, 1.5, 0.15, 0.5, 0.0, mod_ref, mod_test,
             adapted_ref, adapted_test))
-        bw_ref, bw_test, bw_valid = MOVS.bandwidth(power[0], power[1])
+        bw_ref, bw_test, bw_valid = (
+            fm(x) for x in MOVS.bandwidth(power[0], power[1]))
         hi = k.group_bin_hi
-        nmr_mean, disturbed = MOVS.nmr(
+        nmr_mean, disturbed = (fm(x) for x in MOVS.nmr(
             k.group_matrix[:hi], k.masking_difference,
             weighted[0][..., :hi], weighted[1][..., :hi],
-            jnp.moveaxis(ref_e, -1, -3), delta_weighted=delta_w)
+            jnp.swapaxes(ref_e, -1, -2), delta_weighted=delta_w))
         p_bin, steps_bin = MOVS.prob_detect(
             ref_e, test_e, settings.use_floor_for_steps_above_threshold)
         ehs_val, ehs_valid = MOVS.ehs(
@@ -147,6 +148,7 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
             ehs_mats=None if k.ehs_fwd is None else
             (k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im, k.ehs_fwd2),
             delta_weighted=delta_w)
+        ehs_val = fm(ehs_val)
 
         # --- streaming accumulation ---
         has_prev = state["has_above"]
@@ -225,8 +227,8 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         # carry last 3 sqrt values of the extended sequence
         win_sqrts_new = jnp.moveaxis(ext[-3:], 0, 1)
 
-        rhalf = ref_blocks[:-1].astype(sdtype)  # first half of frame f
-        nhalf = rhalf - test_blocks[:-1].astype(sdtype)
+        rhalf = ref_blocks[..., :-1, :].astype(sdtype)  # 1st half of frame f
+        nhalf = rhalf - test_blocks[..., :-1, :].astype(sdtype)
 
         new_state = {
             "smear": smear_new,
@@ -383,19 +385,22 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
             kf, ref_blocks, test_blocks)
         # both signals' smear states are carried (checkpoint format), but
         # only the REF excitation is consumed (NMR masking)
-        uns_t = jnp.moveaxis(unsmeared, -3, -1)       # [2, CH, Z, F]
+        uns_t = jnp.swapaxes(unsmeared, -1, -2)       # [2, CH, Z, F]
         exc, smear_new = FE.time_smear(
             kf, uns_t, axis=-1, state=state["smear"], return_state=True)
         hi = kf.group_bin_hi
+        fmv = lambda x: jnp.swapaxes(x, -1, -2)  # [CH,F] -> accum [F,CH]
         nmr_mean, _ = MOVS.nmr(kf.group_matrix[:hi], kf.masking_difference,
                                weighted[0][..., :hi], weighted[1][..., :hi],
-                               jnp.moveaxis(exc[0], -1, -3),
+                               jnp.swapaxes(exc[0], -1, -2),
                                delta_weighted=delta_w)
+        nmr_mean = fmv(nmr_mean)
         ehs_val, ehs_valid = MOVS.ehs(
             weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if kf.ehs_fwd is None else
             (kf.ehs_fwd, kf.ehs_inv_re, kf.ehs_inv_im, kf.ehs_fwd2),
             delta_weighted=delta_w)
+        ehs_val = fmv(ehs_val)
         has_prev = state["has_above_fft"]
         active = has_prev | (jnp.cumsum(above.astype(jnp.int32)) > 0)
         any_above = jnp.any(above)
@@ -410,8 +415,8 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
             sums["EHSB"], jnp.where(ehs_valid[:, None], ehs_val, 0.0),
             ehs_valid.astype(dtype)[:, None] * one, tgate, active, any_above,
             t_last)
-        rhalf = ref_blocks[:-1].astype(sdtype)  # first half of frame f
-        nhalf = rhalf - test_blocks[:-1].astype(sdtype)
+        rhalf = ref_blocks[..., :-1, :].astype(sdtype)  # 1st half of frame f
+        nhalf = rhalf - test_blocks[..., :-1, :].astype(sdtype)
         new_state = dict(state)
         new_state.update(
             sums=sums, smear=smear_new, has_above_fft=has_prev | any_above,

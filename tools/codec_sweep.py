@@ -42,6 +42,11 @@ def main() -> int:
                         help="run N synthetic pairs instead of a manifest")
     parser.add_argument("--out", default=None)
     parser.add_argument("--microbatch", type=int, default=32)
+    parser.add_argument("--prefetch-gb", type=float, default=6.0,
+                        help="stage all input chunks on device before the "
+                        "first dispatch when they fit this budget (the "
+                        "tunneled backend's transfers are ~25x faster "
+                        "before the first program execution)")
     args = parser.parse_args()
 
     import jax
@@ -65,7 +70,8 @@ def main() -> int:
 
     t0 = time.time()
     out = B.peaq_batch(refs, tests, advanced=args.advanced,
-                       dtype=args.precision, microbatch=args.microbatch)
+                       dtype=args.precision, microbatch=args.microbatch,
+                       prefetch_gb=args.prefetch_gb)
     dt = time.time() - t0
     audio = sum(r.shape[0] for r in refs) / 48000.0
     import resource

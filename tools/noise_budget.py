@@ -227,9 +227,10 @@ def main():
             orig = getattr(mod, attr)
 
             def repl(k, ref_blocks, test_blocks, _fn=frames_repl):
+                # blocks are [CH, F+1, 1024] channel-major
                 blocks = jnp.stack([ref_blocks, test_blocks])
                 frames = jnp.concatenate(
-                    [blocks[..., :-1, :, :], blocks[..., 1:, :, :]], axis=-1)
+                    [blocks[..., :-1, :], blocks[..., 1:, :]], axis=-1)
                 power, weighted, unsmeared, thr = _fn(k, frames)
                 hi = k.group_bin_hi
                 delta_w = weighted[0][..., :hi] - weighted[1][..., :hi]

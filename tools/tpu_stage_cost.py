@@ -75,9 +75,11 @@ def _fb_masking_dummy(k, e0, n_frames, state=None, return_state=False):
 
 
 DUMMIES = {
-    "ehs": (MOVS, "ehs", lambda w_r, w_t, t0, t1, s, d, ehs_mats=None: (
-        jnp.zeros(w_r.shape[:-1], w_r.dtype),
-        jnp.ones(w_r.shape[:-2], bool))),
+    "ehs": (MOVS, "ehs",
+            lambda w_r, w_t, t0, t1, s, d, ehs_mats=None,
+            delta_weighted=None: (
+        jnp.zeros(w_r.shape[:-1], w_r.dtype),        # ehs_val [.., CH, F]
+        jnp.ones(w_r.shape[-2:-1], bool))),          # valid [F]
     "prob_detect": (MOVS, "prob_detect", lambda er, et, fl: (
         jnp.mean(er - et, axis=(-3, -2)) * 0 + 0.6,
         jnp.mean(er - et, axis=(-3, -2)))),
