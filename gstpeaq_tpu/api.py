@@ -141,7 +141,7 @@ def _jitted_advanced(n_fft_frames: int, n_fb_frames: int, channels: int,
     pipe, consts = advanced.make_pipeline(
         playback_level, settings, dtype, sdtype,
         fft_spectra=use_fft_spectra(dtype_name))
-    jfn = jax.jit(pipe)
+    jfn = jax.jit(advanced.unified_input(pipe, n_fft_frames, n_fb_frames))
     return lambda *args: jfn(consts, *args)
 
 
@@ -184,16 +184,16 @@ def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
     n_fft = framing.num_frames(ref.shape[0], test.shape[0],
                                C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
     n_fft_b = _bucket(n_fft, 32)
-    ref_fft = _pad_bucketed(ref, n_fft, n_fft_b, C.FFT_FRAMESIZE,
-                            C.FFT_STEPSIZE)
-    test_fft = _pad_bucketed(test, n_fft, n_fft_b, C.FFT_FRAMESIZE,
-                             C.FFT_STEPSIZE)
 
     import jax
     # explicit device_put: the implicit jit-argument transfer path on the
     # tunneled axon backend is ~46x slower than device_put (see
     # parallel/batch.peaq_batch)
     if not advanced:
+        ref_fft = _pad_bucketed(ref, n_fft, n_fft_b, C.FFT_FRAMESIZE,
+                                C.FFT_STEPSIZE)
+        test_fft = _pad_bucketed(test, n_fft, n_fft_b, C.FFT_FRAMESIZE,
+                                 C.FFT_STEPSIZE)
         fn = _jitted_basic(n_fft_b, ref.shape[1], playback_level, settings,
                            dtype, band_count or C.BASIC_BAND_COUNT)
         out = fn(jax.device_put(ref_fft), jax.device_put(test_fft),
@@ -212,18 +212,21 @@ def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
     # 256-frame FB buckets keep n_inst % 1536 == 0 for the fused Pallas
     # spread (ops/pallas_fb.TILE_CONV); padding frames are masked
     n_fb_b = _bucket(n_fb, 256)
-    fb_pair = np.stack([
-        _pad_bucketed(ref, n_fb, n_fb_b, C.FB_FRAMESIZE, C.FB_FRAMESIZE),
-        _pad_bucketed(test, n_fb, n_fb_b, C.FB_FRAMESIZE, C.FB_FRAMESIZE)])
-    if fb_pair.shape[-1] % (128 * 384) == 0:
-        # device-native blocked layout [2, CH, T/128, 128] (a free host
-        # reshape): the pipeline's FB path consumes it without the
-        # sublane-2 [CH, T] retile — see models/advanced.py
-        fb_pair = fb_pair.reshape(*fb_pair.shape[:-1], -1, 128)
+    # ONE raw signal-pair array covers both ear-model paths (the device
+    # slices each path's prefix — models/advanced.unified_input); blocked
+    # [2, CH, Tmax/128, 128] is the device tile layout, a free reshape
+    t_fft = framing.padded_length(n_fft_b, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+    t_fb = n_fb_b * C.FB_FRAMESIZE
+    t_max = max(t_fft, t_fb)
+    sig_pair = np.zeros((2, ref.shape[1], t_max), np.float32)
+    for j, sig in enumerate((ref, test)):
+        take = min(t_max, sig.shape[0])
+        sig_pair[j, :, :take] = sig[:take].T
+    if t_max % 128 == 0 and t_fb % 128 == 0:
+        sig_pair = sig_pair.reshape(*sig_pair.shape[:-1], -1, 128)
     fn = _jitted_advanced(n_fft_b, n_fb_b, ref.shape[1], playback_level,
                           settings, dtype)
-    out = fn(jax.device_put(ref_fft), jax.device_put(test_fft),
-             jax.device_put(fb_pair), np.int32(n_fft), np.int32(n_fb))
+    out = fn(jax.device_put(sig_pair), np.int32(n_fft), np.int32(n_fb))
     movs = {name: float(v)
             for name, v in zip(C.MOV_ADVANCED_NAMES, np.asarray(out.movs))}
     snr = None

@@ -62,12 +62,17 @@ def main(argv=None) -> int:
     if args.version:
         print(f"gstpeaq-tpu {__version__}")
         return 0
-    if args.precision == "float64":
+    import os
+    if args.precision == "float64" or os.environ.get("GSTPEAQ_PLATFORM"):
         # the exact tier lives on CPU: TPU f64 is software-emulated and the
         # full-pipeline f64 graph breaks the TPU x64 rewriter; switching
-        # here works because backends initialize lazily
+        # here works because backends initialize lazily.  GSTPEAQ_PLATFORM
+        # exists because a sitecustomize may force-register an accelerator
+        # backend and ignore JAX_PLATFORMS — tests use it to pin the CLI
+        # subprocess to CPU so CI never depends on accelerator availability
         import jax
-        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms",
+                          os.environ.get("GSTPEAQ_PLATFORM", "cpu"))
     if len(args.files) != 2:
         parser.print_help()
         return 1

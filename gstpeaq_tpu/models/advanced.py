@@ -34,6 +34,42 @@ class AdvancedOutputs(NamedTuple):
     total_noise_energy: Any
 
 
+def unified_input(pipe, n_fft: int, n_fb: int):
+    """Wrap an advanced pipeline to take ONE raw signal-pair array instead
+    of separately-padded FFT and FB copies of the same audio.
+
+    The dual-rate front end consumed the audio twice ([2, CH, T_fft] +
+    [2, CH, T_fb] differ only in bucket padding), so every sweep shipped
+    ~2x the sample bytes host->device and paid ~2x the host padding.  The
+    wrapped signature is fn(consts, sig_pair, valid_fft, valid_fb) with
+    sig_pair [2, CH, Tmax] flat or [2, CH, Tmax/128, 128] blocked,
+    Tmax = max(t_fft, t_fb), zero-padded raw audio (truncated at
+    min(Tmax, T_signal), NOT at each path's own flush boundary): frames
+    past a pair's own flush frame carry real audio instead of zeros, and
+    the per-path valid masks exclude them exactly as the reference's
+    drain loop never processes them (src/gstpeaq.c:715-745) — every
+    consumer (threshold, MOV accumulation, totalsnr) is valid-gated, and
+    the band-chain recurrences are causal so poisoned trailing frames
+    cannot reach unmasked ones.  Each path slices its prefix on device
+    (free for the blocked FB rows; one fused lane-prefix slice for the
+    flat FFT view).  n_fft/n_fb are static (they cannot be derived from
+    Tmax alone — either path's bucket may be the longer one)."""
+    t_fft = (n_fft + 1) * C.FFT_STEPSIZE
+    t_fb = n_fb * C.FB_FRAMESIZE
+
+    def wrapped(consts, sig_pair, valid_fft=None, valid_fb=None):
+        if sig_pair.ndim == 4:          # blocked [2, CH, Tb, 128]
+            assert t_fb % 128 == 0
+            flat = sig_pair.reshape(*sig_pair.shape[:-2], -1)
+            fb_pair = sig_pair[..., :t_fb // 128, :]
+        else:
+            flat = sig_pair
+            fb_pair = flat[..., :t_fb]
+        return pipe(consts, flat[0, ..., :t_fft], flat[1, ..., :t_fft],
+                    fb_pair, valid_fft, valid_fb)
+    return wrapped
+
+
 def make_pipeline(playback_level: float = 92.0,
                   settings: C.Settings = C.DEFAULT_SETTINGS,
                   dtype=jnp.float64, spectrum_dtype=None,

@@ -37,9 +37,11 @@ def _jitted_basic_batch(playback_level: float, settings: C.Settings,
     return lambda *args: jfn(consts, *args)
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=64)
 def _jitted_advanced_batch(playback_level: float, settings: C.Settings,
-                           dtype_name: str):
+                           dtype_name: str, n_fft: int, n_fb: int):
+    """Keyed on the bucket frame counts too: the unified raw-input
+    wrapper (models/advanced.unified_input) needs them statically."""
     import jax
     from .. import api
     from ..models import advanced
@@ -47,44 +49,34 @@ def _jitted_advanced_batch(playback_level: float, settings: C.Settings,
     pipe, consts = advanced.make_pipeline(
         playback_level, settings, dtype, sdtype,
         fft_spectra=api.use_fft_spectra(dtype_name))
-    jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0, 0, 0)))
+    upipe = advanced.unified_input(pipe, n_fft, n_fb)
+    jfn = jax.jit(jax.vmap(upipe, in_axes=(None, 0, 0, 0)))
     return lambda *args: jfn(consts, *args)
 
 
-def _pad_pairwise(refs, tests, n_bucket, frame_size, step_size,
-                  paired: bool = False):
+def _pad_pairwise(refs, tests, n_bucket, frame_size, step_size):
     """Truncate each pair at its *own* flush-frame boundary (audio past the
     flush frame is dropped by the reference, src/gstpeaq.c:715-745), then
     zero-extend to the bucket frame count — the padding frames are silent and
     thus auto-masked by the tentative accumulator semantics.  Output is
-    CHANNEL-MAJOR: ([B, CH, T], [B, CH, T], valid) or, with `paired`, one
-    ref/test-stacked ([B, 2, CH, T], valid) written in place (the advanced
-    pipeline consumes the pair-stacked layout; stacking on the device cost
-    ~0.8 ms/iter of copy)."""
+    CHANNEL-MAJOR ([B, CH, T], [B, CH, T], valid), written directly from
+    the sources (the former pad_signal intermediate buffer DOUBLED the
+    host copy volume, and host prep — not the device — bounds sweep
+    throughput on few-core hosts)."""
     length = framing.padded_length(n_bucket, frame_size, step_size)
     ch = refs[0].shape[1]
     b = len(refs)
-    if paired:
-        out = np.zeros((b, 2, ch, length), dtype=np.float32)
-        out_r, out_t = out[:, 0], out[:, 1]
-    else:
-        out_r = np.zeros((b, ch, length), dtype=np.float32)
-        out_t = np.zeros((b, ch, length), dtype=np.float32)
+    out_r = np.zeros((b, ch, length), dtype=np.float32)
+    out_t = np.zeros((b, ch, length), dtype=np.float32)
     valids = np.empty((b,), dtype=np.int32)
     for i, (r, t) in enumerate(zip(refs, tests)):
         n_own = framing.num_frames(r.shape[0], t.shape[0], frame_size,
                                    step_size)
-        # direct truncate-at-own-flush + transpose write: the former
-        # pad_signal intermediate buffer DOUBLED the host copy volume,
-        # and host prep — not the device — bounds sweep throughput on
-        # few-core hosts (190 -> ~75 ms per 16-pair advanced chunk)
         own_len = framing.padded_length(n_own, frame_size, step_size)
         for sig, dst in ((r, out_r), (t, out_t)):
             take = min(own_len, sig.shape[0])
             dst[i, :, :take] = sig[:take].T
         valids[i] = n_own
-    if paired:
-        return out, valids
     return out_r, out_t, valids
 
 
@@ -112,21 +104,37 @@ def compute_buckets(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
 
 def prepare_chunk(refs, tests, buckets):
     """Pad one chunk of [T, C] pairs to the shared `buckets` frame counts.
-    Returns (ref_fft, test_fft[, fb_pair], valid_fft[, valid_fb]) with
-    ref/test_fft stacked [B, CH, T] and fb_pair ref/test-stacked
-    [B, 2, CH, T]; Pallas-aligned FB arrays ship in the blocked
-    [B, 2, CH, T/128, 128] device layout (free host reshape — see
-    models/advanced.py)."""
-    ref_fft, test_fft, valid_fft = _pad_pairwise(
-        refs, tests, buckets[0], C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+
+    Basic: returns (ref_fft [B, CH, T], test_fft, valid_fft).
+    Advanced: returns (sig_pair, valid_fft, valid_fb) — ONE raw
+    ref/test-stacked audio array [B, 2, CH, Tmax] covering BOTH paths
+    (models/advanced.unified_input slices each path's prefix on device;
+    shipping per-path padded copies doubled transfer and host-padding
+    cost).  When tile-aligned it ships in the blocked
+    [B, 2, CH, Tmax/128, 128] device layout (free host reshape)."""
     if len(buckets) == 1:
-        return ref_fft, test_fft, valid_fft
-    fb_pair, valid_fb = _pad_pairwise(
-        refs, tests, buckets[1], C.FB_FRAMESIZE, C.FB_FRAMESIZE,
-        paired=True)
-    if fb_pair.shape[-1] % (128 * 384) == 0:
-        fb_pair = fb_pair.reshape(*fb_pair.shape[:-1], -1, 128)
-    return ref_fft, test_fft, fb_pair, valid_fft, valid_fb
+        return _pad_pairwise(refs, tests, buckets[0], C.FFT_FRAMESIZE,
+                             C.FFT_STEPSIZE)
+    t_fft = framing.padded_length(buckets[0], C.FFT_FRAMESIZE,
+                                  C.FFT_STEPSIZE)
+    t_fb = buckets[1] * C.FB_FRAMESIZE
+    t_max = max(t_fft, t_fb)
+    ch = refs[0].shape[1]
+    b = len(refs)
+    out = np.zeros((b, 2, ch, t_max), dtype=np.float32)
+    valid_fft = np.empty((b,), dtype=np.int32)
+    valid_fb = np.empty((b,), dtype=np.int32)
+    for i, (r, t) in enumerate(zip(refs, tests)):
+        valid_fft[i] = framing.num_frames(r.shape[0], t.shape[0],
+                                          C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+        valid_fb[i] = framing.num_frames(r.shape[0], t.shape[0],
+                                         C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+        for j, sig in enumerate((r, t)):
+            take = min(t_max, sig.shape[0])
+            out[i, j, :, :take] = sig[:take].T
+    if t_max % 128 == 0 and t_fb % 128 == 0:
+        out = out.reshape(*out.shape[:-1], -1, 128)
+    return out, valid_fft, valid_fb
 
 
 def prepare_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
@@ -168,7 +176,8 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
     dtype = dtype or api.default_dtype()
     buckets = compute_buckets(refs, tests, advanced, granularity)
     if advanced:
-        fn = _jitted_advanced_batch(playback_level, settings, dtype)
+        fn = _jitted_advanced_batch(playback_level, settings, dtype,
+                                    buckets[0], buckets[1])
     else:
         fn = _jitted_basic_batch(playback_level, settings, dtype)
     n = len(refs)
@@ -187,10 +196,10 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
                 t_chunk = list(t_chunk) + [t_chunk[-1]] * pad
             yield prepare_chunk(r_chunk, t_chunk, buckets), mb - pad
 
+    t_fft = framing.padded_length(buckets[0], C.FFT_FRAMESIZE,
+                                  C.FFT_STEPSIZE)
     bytes_per_pair = 4.0 * 2 * refs[0].shape[1] * (
-        framing.padded_length(buckets[0], C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
-        + (framing.padded_length(buckets[1], C.FB_FRAMESIZE, C.FB_FRAMESIZE)
-           if advanced else 0))
+        max(t_fft, buckets[1] * C.FB_FRAMESIZE) if advanced else t_fft)
     prefetch = (-(-n // mb) * mb) * bytes_per_pair <= prefetch_gb * 1e9
 
     outs, takes = [], []

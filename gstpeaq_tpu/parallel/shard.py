@@ -36,7 +36,8 @@ def _mesh_key(mesh) -> tuple:
 
 @functools.lru_cache(maxsize=16)
 def _jitted_sharded(advanced: bool, playback_level: float,
-                    settings: C.Settings, dtype_name: str, mesh_key: tuple):
+                    settings: C.Settings, dtype_name: str, mesh_key: tuple,
+                    buckets: tuple):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -48,7 +49,8 @@ def _jitted_sharded(advanced: bool, playback_level: float,
         pipe, consts = mod.make_pipeline(
             playback_level, settings, dtype, sdtype,
             fft_spectra=api.use_fft_spectra(dtype_name))
-        in_axes = (None, 0, 0, 0, 0, 0)
+        pipe = mod.unified_input(pipe, buckets[0], buckets[1])
+        in_axes = (None, 0, 0, 0)
     else:
         from ..models import basic as mod
         pipe, consts = mod.make_pipeline(
@@ -92,10 +94,12 @@ def peaq_sharded(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
         refs = list(refs) + [refs[-1]] * pad
         tests = list(tests) + [tests[-1]] * pad
     dtype = dtype or api.default_dtype()
-    arrays = B.prepare_batch(refs, tests, advanced, granularity)
+    buckets = B.compute_buckets(refs, tests, advanced, granularity)
+    arrays = B.prepare_chunk(refs, tests, buckets)
     key = _mesh_key(mesh)
     _MESHES[key] = mesh
-    fn = _jitted_sharded(advanced, playback_level, settings, dtype, key)
+    fn = _jitted_sharded(advanced, playback_level, settings, dtype, key,
+                         buckets)
     # explicit sharded device_put: the implicit jit-argument transfer is
     # ~46x slower on the tunneled backend (see batch.peaq_batch)
     import jax

@@ -1,10 +1,21 @@
 """WAV I/O round-trips, resampling, CLI output format."""
 
+import os
 import subprocess
 import sys
 
 import numpy as np
 import pytest
+
+
+def _cpu_env():
+    """CLI subprocess env pinned to the CPU backend: these tests check
+    output format, not device numerics, and must not hang when the
+    accelerator tunnel is unavailable (JAX_PLATFORMS alone is ineffective
+    under a backend-forcing sitecustomize — see gstpeaq_tpu/cli.py)."""
+    env = dict(os.environ)
+    env["GSTPEAQ_PLATFORM"] = "cpu"
+    return env
 
 from gstpeaq_tpu.utils import testsignals as TS
 from gstpeaq_tpu.utils import wavio
@@ -140,7 +151,7 @@ def test_cli_matches_reference_format(tmp_path):
     wavio.write_wav(tp, test[:, None])
     proc = subprocess.run(
         [sys.executable, "-m", "gstpeaq_tpu", rp, tp],
-        capture_output=True, text=True, check=True)
+        capture_output=True, text=True, check=True, env=_cpu_env())
     lines = proc.stdout.strip().splitlines()
     assert lines[-2].startswith("Objective Difference Grade: ")
     assert lines[-1].startswith("Distortion Index: ")
@@ -160,7 +171,7 @@ def test_cli_precision_mixed_and_totalsnr(tmp_path):
     proc = subprocess.run(
         [sys.executable, "-m", "gstpeaq_tpu", "--precision", "mixed",
          "--totalsnr", rp, tp],
-        capture_output=True, text=True, check=True)
+        capture_output=True, text=True, check=True, env=_cpu_env())
     lines = proc.stdout.strip().splitlines()
     assert lines[-1].startswith("Total SNR: ")
     assert lines[-1].endswith(" dB")

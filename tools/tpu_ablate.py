@@ -137,8 +137,11 @@ def ablate_advanced(mb, dtype_name):
         for v in FB.process_signal(kb, s.astype(sdtype), NF)), x)
 
     refs, tests = BE.make_pairs(mb, 10.0)
-    arrays = [jax.device_put(a) for a in B.prepare_batch(refs, tests, True)]
-    fn = B._jitted_advanced_batch(92.0, C.DEFAULT_SETTINGS, dtype_name)
+    buckets = B.compute_buckets(refs, tests, True)
+    arrays = [jax.device_put(a)
+              for a in B.prepare_chunk(refs, tests, buckets)]
+    fn = B._jitted_advanced_batch(92.0, C.DEFAULT_SETTINGS, dtype_name,
+                                  buckets[0], buckets[1])
     np.asarray(fn(*arrays).odg)
     times = []
     for _ in range(3):

@@ -18,10 +18,14 @@ from gstpeaq_tpu.parallel import batch as B
 def run(advanced, mb, iters=3):
     tag = "adv" if advanced else "basic"
     refs, tests = BE.make_pairs(mb, 10.0)
+    buckets = B.compute_buckets(refs, tests, advanced)
     arrays = [jax.device_put(a)
-              for a in B.prepare_batch(refs, tests, advanced)]
-    fn = (B._jitted_advanced_batch if advanced else B._jitted_basic_batch)(
-        92.0, CC.DEFAULT_SETTINGS, "float32")
+              for a in B.prepare_chunk(refs, tests, buckets)]
+    if advanced:
+        fn = B._jitted_advanced_batch(92.0, CC.DEFAULT_SETTINGS, "float32",
+                                      buckets[0], buckets[1])
+    else:
+        fn = B._jitted_basic_batch(92.0, CC.DEFAULT_SETTINGS, "float32")
     t0 = time.time()
     np.asarray(fn(*arrays).odg)
     print(f"{tag} mb={mb}: compile+first {time.time()-t0:.0f}s", flush=True)

@@ -42,10 +42,12 @@ def main():
 
     adv = args.mode == "advanced"
     refs, tests = BE.make_pairs(args.mb, args.seconds)
+    buckets = B.compute_buckets(refs, tests, adv)
     arrays = [jax.device_put(a)
-              for a in B.prepare_batch(refs, tests, adv)]
+              for a in B.prepare_chunk(refs, tests, buckets)]
     if adv:
-        fn = B._jitted_advanced_batch(92.0, C.DEFAULT_SETTINGS, args.dtype)
+        fn = B._jitted_advanced_batch(92.0, C.DEFAULT_SETTINGS, args.dtype,
+                                      buckets[0], buckets[1])
     else:
         fn = B._jitted_basic_batch(92.0, C.DEFAULT_SETTINGS, args.dtype)
     np.asarray(fn(*arrays).odg)   # compile + warm

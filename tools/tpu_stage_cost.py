@@ -36,13 +36,14 @@ def timed(fn, arrays, iters=4):
     return min(times) * 1000
 
 
-def build(dtype_name, mode="basic"):
+def build(dtype_name, mode="basic", buckets=None):
     from gstpeaq_tpu import api
     dtype, sdtype = api.resolve_dtypes(dtype_name)
     if mode == "advanced":
         pipe, consts = advanced.make_pipeline(
             92.0, C.DEFAULT_SETTINGS, dtype, sdtype)
-        jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0, 0, 0)))
+        pipe = advanced.unified_input(pipe, buckets[0], buckets[1])
+        jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0)))
     else:
         pipe, consts = basic.make_pipeline(
             C.BASIC_BAND_COUNT, 92.0, C.DEFAULT_SETTINGS, dtype, sdtype)
@@ -133,10 +134,11 @@ def main():
     mb = args.mb or (32 if args.mode == "basic" else 8)
 
     refs, tests = BE.make_pairs(mb, 10.0)
+    buckets = B.compute_buckets(refs, tests, args.mode == "advanced")
     arrays = [jax.device_put(a)
-              for a in B.prepare_batch(refs, tests, args.mode == "advanced")]
+              for a in B.prepare_chunk(refs, tests, buckets)]
 
-    full = timed(build(args.dtype, args.mode), arrays)
+    full = timed(build(args.dtype, args.mode, buckets), arrays)
     print(f"full: {full:.1f} ms "
           f"({mb * 10.0 / full * 1000:.0f} audio-s/s)", flush=True)
 
@@ -152,7 +154,7 @@ def main():
         orig = getattr(mod, attr)
         setattr(mod, attr, dummy)
         try:
-            ms = timed(build(args.dtype, args.mode), arrays)
+            ms = timed(build(args.dtype, args.mode, buckets), arrays)
         finally:
             setattr(mod, attr, orig)
         print(f"without {name}: {ms:.1f} ms  (stage ~{full - ms:.1f} ms)",
