@@ -130,7 +130,8 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
             k.internal_noise, 1.5, 0.15, 0.5, 0.0, mod_ref, mod_test,
             adapted_ref, adapted_test))
         bw_ref, bw_test, bw_valid = (
-            fm(x) for x in MOVS.bandwidth(ref_p, test_p))
+            fm(x) for x in MOVS.bandwidth(ref_p, test_p,
+                                          bin_idx=k.bin_idx))
         hi = k.group_bin_hi
         nmr_mean, disturbed = (fm(x) for x in MOVS.nmr(
             k.group_matrix[:hi], k.masking_difference,
@@ -143,7 +144,8 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
             ref_w, test_w, thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if k.ehs_fwd is None else
             (k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im, k.ehs_fwd2),
-            delta_weighted=delta_w)
+            delta_weighted=delta_w, ehs_mask=k.ehs_mask,
+            ehs_dmat=k.ehs_dmat)
         ehs_val = fm(ehs_val)
 
         # ---- accumulate (channel means where multichannel) ----

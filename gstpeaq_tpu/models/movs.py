@@ -13,6 +13,7 @@ import numpy as np
 
 from .. import constants as C
 from .. import earparams as EP
+from ..ops import ct_dft as CTD
 from ..ops import fft_ear as FE
 
 
@@ -61,22 +62,38 @@ def noise_loudness(internal_noise: jnp.ndarray, alpha: float,
     return jnp.where(nl < nl_min, 0.0, nl)
 
 
-def bandwidth(ref_power: jnp.ndarray, test_power: jnp.ndarray):
+def bandwidth(ref_power: jnp.ndarray, test_power: jnp.ndarray,
+              bin_idx=None):
     """BandwidthRef/TestB per frame; src/movs.c:775-809.
 
-    ref/test_power: [..., 1025].
+    ref/test_power: [..., 1025] in natural bin order, or — with `bin_idx`
+    given (the CT-DFT grid, ops/ct_dft) — [..., 1024] in any order, with
+    bin_idx[q] naming the bin at position q.  The scans are order-free:
+    "largest bin index above threshold" is a masked max over bin_idx.
     Returns (bw_ref, bw_test, valid) with valid = bw_ref > 346.
     """
     dtype = ref_power.dtype
-    zt = jnp.max(test_power[..., 921:1024], axis=-1, keepdims=True)
-    idx = jnp.arange(921)
-    # largest i in [1, 921] with ref_power[i-1] > 10*zt, else 0
-    mask_ref = ref_power[..., :921] > 10.0 * zt
-    bw_ref = jnp.max(jnp.where(mask_ref, idx + 1, 0), axis=-1)
-    mask_test = test_power[..., :921] >= C.FIVE_DB_POWER_FACTOR * zt
-    # largest i <= bw_ref with test_power[i-1] >= 5dB*zt, else 0
-    below = idx < bw_ref[..., None]
-    bw_test = jnp.max(jnp.where(mask_test & below, idx + 1, 0), axis=-1)
+    if bin_idx is None:
+        zt = jnp.max(test_power[..., 921:1024], axis=-1, keepdims=True)
+        idx = jnp.arange(921)
+        # largest i in [1, 921] with ref_power[i-1] > 10*zt, else 0
+        mask_ref = ref_power[..., :921] > 10.0 * zt
+        bw_ref = jnp.max(jnp.where(mask_ref, idx + 1, 0), axis=-1)
+        mask_test = test_power[..., :921] >= C.FIVE_DB_POWER_FACTOR * zt
+        # largest i <= bw_ref with test_power[i-1] >= 5dB*zt, else 0
+        below = idx < bw_ref[..., None]
+        bw_test = jnp.max(jnp.where(mask_test & below, idx + 1, 0), axis=-1)
+    else:
+        # powers are >= 0, so masked maxes can fill with 0
+        zt = jnp.max(jnp.where((bin_idx >= 921) & (bin_idx < 1024),
+                               test_power, 0.0), axis=-1, keepdims=True)
+        head = bin_idx < 921
+        mask_ref = head & (ref_power > 10.0 * zt)
+        bw_ref = jnp.max(jnp.where(mask_ref, bin_idx + 1, 0), axis=-1)
+        mask_test = head & (test_power >= C.FIVE_DB_POWER_FACTOR * zt)
+        below = bin_idx < bw_ref[..., None]
+        bw_test = jnp.max(jnp.where(mask_test & below, bin_idx + 1, 0),
+                          axis=-1)
     valid = bw_ref > 346
     return (bw_ref.astype(dtype), bw_test.astype(dtype), valid)
 
@@ -149,7 +166,8 @@ def prob_detect(e_ref: jnp.ndarray, e_test: jnp.ndarray,
 
 def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
         ref_thresh: jnp.ndarray, test_thresh: jnp.ndarray,
-        settings: C.Settings, dtype, ehs_mats=None, delta_weighted=None):
+        settings: C.Settings, dtype, ehs_mats=None, delta_weighted=None,
+        ehs_mask=None, ehs_dmat=None):
     """Error harmonic structure per frame; src/movs.c:1345-1443.
 
     ref/test_weighted: [CH, F, 1025]; ref/test_thresh: [CH, F] bool
@@ -175,13 +193,24 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
     eps * wr, i.e. O(1) error in d (corpus v2's MDCT items drove EHS 3x
     wrong) — so those bins use the direct log(wt / wr), whose own f32
     error is ~eps.  The two branches agree to ~eps at the 0.5 crossover.
+
+    `ehs_dmat` given (with `ehs_mask`) = the CT-DFT permuted bin order
+    (ops/ct_dft): inputs are full flat [..., 1024] grids; the 512 EHS
+    bins are the head-grid lane slice, d's transforms use the
+    row-permuted ehs_mats, the "first 256 bins" sub-sequence becomes the
+    ehs_mask multiply, and the order-dependent sliding-window cumsum
+    becomes the banded ehs_dmat matmul.  Lag-domain math is order-free.
     """
     n = C.MAXLAG
+    ct = ehs_dmat is not None
+    if ct:
+        assert ehs_mats is not None, "CT bin order requires the DFT-GEMMs"
     valid = jnp.any(ref_thresh | test_thresh, axis=-2)  # over channels
-    rw = ref_weighted[..., :2 * n]
-    tw = test_weighted[..., :2 * n]
+    take = CTD.head_grid if ct else (lambda x: x[..., :2 * n])
+    rw = take(ref_weighted)
+    tw = take(test_weighted)
     if delta_weighted is not None:
-        dl = delta_weighted[..., :2 * n]
+        dl = take(delta_weighted)
         ratio = dl / rw
         tw_safe = jnp.where(tw > 0.0, tw, 1.0)
         d = jnp.where(jnp.abs(ratio) <= 0.5,
@@ -196,8 +225,11 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
         hp = jax.lax.Precision.HIGHEST
         bins = n + 1
         g1 = jnp.dot(d, fwd512, precision=hp)           # [.., 2*257]
-        # f2 = rfft([d[:256], 0...]): only the first 256 rows contribute
-        g2 = jnp.dot(d[..., :n], fwd512[:n], precision=hp)
+        # f2 = rfft([d[:256], 0...]): only the first 256 bins contribute
+        if ct:
+            g2 = jnp.dot(jnp.where(ehs_mask, d, 0.0), fwd512, precision=hp)
+        else:
+            g2 = jnp.dot(d[..., :n], fwd512[:n], precision=hp)
         f1r, f1i = g1[..., :bins], g1[..., bins:]
         f2r, f2i = g2[..., :bins], g2[..., bins:]
         pr = f1r * f2r + f1i * f2i                      # re(f1 * conj(f2))
@@ -212,10 +244,15 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
         corr = FE.irfft_flat(f1 * jnp.conj(f2))[..., :n]
     d0 = corr[..., :1]
     dsq = d * d
-    dk = d0 + jnp.concatenate(
-        [jnp.zeros_like(d0),
-         jnp.cumsum(dsq[..., n:2 * n - 1] - dsq[..., :n - 1], axis=-1)],
-        axis=-1)
+    if ct:
+        # sliding-window energy over the PERMUTED bin axis: the cumsum
+        # below is order-dependent; the banded matmul is order-free
+        dk = d0 + jnp.dot(dsq, ehs_dmat, precision=jax.lax.Precision.HIGHEST)
+    else:
+        dk = d0 + jnp.concatenate(
+            [jnp.zeros_like(d0),
+             jnp.cumsum(dsq[..., n:2 * n - 1] - dsq[..., :n - 1], axis=-1)],
+            axis=-1)
     cnorm = corr / jnp.sqrt(d0 * dk)
     window = jnp.asarray(
         EP.ehs_correlation_window(settings.center_ehs_correlation_window),

@@ -21,6 +21,7 @@ import numpy as np
 
 from .. import constants as C
 from .. import earparams as EP
+from . import ct_dft as CT
 from . import iir
 
 
@@ -54,6 +55,14 @@ class FFTEarConsts:
     band_count: int
     group_bin_hi: int = C.FFT_FRAMESIZE // 2 + 1  # grouping-support bins
     spec_bins: int = C.FFT_FRAMESIZE // 2 + 1     # spectrum bins computed
+    # Cooley-Tukey factored-GEMM spectrum path (ops/ct_dft): bins live in
+    # the permuted [k2, k1] grid order; per-bin constants above are then
+    # permuted to match, bin_idx maps grid position -> bin number, and
+    # ehs_mask/ehs_dmat replace the order-dependent EHS slices/cumsum
+    ct_mats: Any = None
+    bin_idx: Any = None
+    ehs_mask: Any = None
+    ehs_dmat: Any = None
 
 
 # Registered as a pytree with the arrays as leaves so the bundle can be
@@ -65,7 +74,8 @@ _FFT_LEAF_FIELDS = (
     "om_weight", "level_factor", "group_matrix",
     "internal_noise", "a_uc_log", "a_uc", "g_il", "lower_matrix",
     "spread_norm", "delta_z", "ear_a", "adapt_a", "masking_difference",
-    "threshold", "excitation_threshold", "loudness_factor")
+    "threshold", "excitation_threshold", "loudness_factor",
+    "ct_mats", "bin_idx", "ehs_mask", "ehs_dmat")
 
 
 def _fft_consts_flatten(k):
@@ -86,7 +96,8 @@ jax.tree_util.register_pytree_node(
 def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
                  use_dft_gemm: bool | None = None,
                  spectrum_dtype=None,
-                 truncate_spectrum: bool = False) -> FFTEarConsts:
+                 truncate_spectrum: bool = False,
+                 use_ct_dft: bool | None = None) -> FFTEarConsts:
     """`dtype` is the band-domain compute type (Z-length arrays: spreading,
     smearing, adaptation, modulation, MOVs); `spectrum_dtype` the bin-domain
     type (frames, DFT, 1025-bin spectra).  Mixed f64/f32 gives near-f64 MOV
@@ -98,7 +109,16 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
     (group_bin_hi, ~18 kHz -> 769 of 1025).  Valid when no consumer reads
     bins above it — the ADVANCED FFT path (NMR needs bins < group_bin_hi,
     EHS bins < 512, energy threshold is time-domain); NOT the basic path
-    (bandwidth scans bins up to 1024).  Cuts the rDFT GEMM's N by 25%."""
+    (bandwidth scans bins up to 1024).  Cuts the rDFT GEMM's N by 25%.
+
+    `use_ct_dft`: replace the dense rDFT GEMM with the two-stage
+    Cooley-Tukey factorization (ops/ct_dft: ~4x fewer MACs, ~3x less
+    rounding).  Bins then live in the permuted [k2, k1] grid order and
+    ALL per-bin constants built here (om_weight, group_matrix rows, EHS
+    forward-DFT rows) are permuted to match; spec_bins/group_bin_hi
+    become 1024 so the pipelines' bin slices are no-ops, and index-based
+    consumers (bandwidth) read bin_idx.  Default None = follow
+    use_dft_gemm (the GEMM tiers take the factored path)."""
     spectrum_dtype = spectrum_dtype or dtype
     fs = lambda x: jnp.asarray(x, dtype=spectrum_dtype)
     f = lambda x: jnp.asarray(x, dtype=dtype)
@@ -117,8 +137,22 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
     if use_dft_gemm is None:
         use_dft_gemm = (spectrum_dtype == jnp.float32
                         or jax.default_backend() != "cpu")
+    if use_ct_dft is None:
+        use_ct_dft = use_dft_gemm
+    om_weight = params.outer_middle_ear_weight
+    group_matrix = params.group_matrix
     dft = None
-    if use_dft_gemm:
+    ct_mats = bin_idx = ehs_mask = ehs_dmat = None
+    if use_ct_dft:
+        ct_mats = CT.build_mats(params.hann_window, spectrum_dtype)
+        bin_idx = jnp.asarray(CT.bin_index(), jnp.int32)
+        perm = CT.bin_perm()
+        om_weight = om_weight[perm]
+        group_matrix = group_matrix[perm]
+        # permuted order makes every bin "grouping-supported" (zero matrix
+        # rows handle the real support); slices at group_bin_hi are no-ops
+        spec_bins = group_bin_hi = CT.BINS
+    elif use_dft_gemm:
         n = C.FFT_FRAMESIZE
         kk = np.arange(spec_bins)
         nn = np.arange(n)
@@ -129,13 +163,18 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
     # second-largest stage of the basic pipeline, ~14 ms of 49 at mb=32).
     # Independent of the MAIN spectrum path: the accurate (VPU-FFT) tier
     # keeps these — the EHS transforms at HIGHEST are accuracy-neutral
-    # (EHS error is set by the d log-difference, not its DFTs).
+    # (EHS error is set by the d log-difference, not its DFTs).  The CT
+    # path REQUIRES them (the log-difference sequence d inherits the
+    # permuted bin order; only row-permutable matrix transforms may
+    # consume it, never an FFT), with rows permuted to the EHS head grid
+    # and the order-dependent sliding-window cumsum replaced by the
+    # banded ehs_dmat matmul (movs.ehs).
     ehs_fwd = ehs_inv_re = ehs_inv_im = ehs_fwd2 = None
-    if jnp.dtype(spectrum_dtype) == jnp.float32:
+    if jnp.dtype(spectrum_dtype) == jnp.float32 or use_ct_dft:
         n = 2 * C.MAXLAG                       # 512
         kk = np.arange(n // 2 + 1)
         ang = -2.0 * np.pi * np.outer(np.arange(n), kk) / n
-        ehs_fwd = fs(np.concatenate([np.cos(ang), np.sin(ang)], 1))
+        fwd = np.concatenate([np.cos(ang), np.sin(ang)], 1)
         wk = np.where((kk == 0) | (kk == n // 2), 1.0, 2.0) / n
         ehs_inv_re = fs((np.cos(ang) * wk).T[:, :C.MAXLAG])
         ehs_inv_im = fs((np.sin(ang) * wk).T[:, :C.MAXLAG])
@@ -143,6 +182,19 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
         kk2 = np.arange(m // 2 + 1)
         ang2 = -2.0 * np.pi * np.outer(np.arange(m), kk2) / m
         ehs_fwd2 = fs(np.concatenate([np.cos(ang2), np.sin(ang2)], 1))
+        if use_ct_dft:
+            hperm = CT.head_perm()
+            fwd = fwd[hperm]
+            ehs_mask = jnp.asarray(CT.head_mask(C.MAXLAG))
+            # dk[i] = d0 + sum_{j<i} (dsq[m+j] - dsq[j])  as a banded
+            # matmul over the (permuted) bin axis: D[b, i] = +1 for
+            # m <= b < m + i, -1 for b < i (column 0 is zero)
+            bb = np.arange(n)[:, None]
+            ii = np.arange(m)[None, :]
+            dmat = ((bb >= m) & (bb < m + ii)).astype(np.float64)
+            dmat -= (bb < ii)
+            ehs_dmat = fs(dmat[hperm])
+        ehs_fwd = fs(fwd)
     # band-domain f32 = the throughput tier: its ODG noise is dominated by
     # the band chain (docs/precision.md), so the spectrum GEMM can run at
     # bf16x3 (HIGH, ~1.3e-5 rel err) for 2x MXU throughput.  Wider band
@@ -158,9 +210,9 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
         ehs_inv_re=ehs_inv_re,
         ehs_inv_im=ehs_inv_im,
         ehs_fwd2=ehs_fwd2,
-        om_weight=fs(params.outer_middle_ear_weight[:spec_bins]),
+        om_weight=fs(om_weight[:spec_bins]),
         level_factor=fs(params.level_factor),
-        group_matrix=fs(params.group_matrix[:spec_bins]),
+        group_matrix=fs(group_matrix[:spec_bins]),
         internal_noise=f(params.internal_noise),
         a_uc_log=f(np.log(params.a_uc)),
         a_uc=f(params.a_uc),
@@ -177,6 +229,10 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
         band_count=Z,
         group_bin_hi=group_bin_hi,
         spec_bins=spec_bins,
+        ct_mats=ct_mats,
+        bin_idx=bin_idx,
+        ehs_mask=ehs_mask,
+        ehs_dmat=ehs_dmat,
     )
 
 
@@ -298,7 +354,10 @@ def stateless(k: FFTEarConsts, frames: jnp.ndarray):
     sdtype = k.hann.dtype           # spectrum (bin-domain) dtype
     bdtype = k.internal_noise.dtype  # band-domain dtype (may be wider)
     x = frames.astype(sdtype)
-    if k.dft_matrix is not None:
+    if k.ct_mats is not None:
+        xp = CT.spec_frames(k.ct_mats, x, k.dft_precision)
+        power = CT.power_flat(xp) * k.level_factor   # permuted bin order
+    elif k.dft_matrix is not None:
         bins = k.spec_bins
         spec_ri = jnp.dot(x, k.dft_matrix, precision=k.dft_precision)
         power = (spec_ri[..., :bins] ** 2
@@ -366,22 +425,33 @@ def stateless_pair_hop(k: FFTEarConsts, ref_blocks: jnp.ndarray,
     ref = ref_blocks.astype(sdtype)
     test = test_blocks.astype(sdtype)
     both = jnp.stack([ref, ref - test])
-    spec = _spec_ri_hop(k, both)
-    r_ri, d_ri = spec[0], spec[1]
-    t_ri = r_ri - d_ri
-    spec2 = jnp.stack([r_ri, t_ri])
-    power = (spec2[..., :bins] ** 2
-             + spec2[..., bins:] ** 2) * k.level_factor
+    if k.ct_mats is not None:
+        # factored CT spectra in the packed [.., F, 8, 256] grid; all bin
+        # arrays come out flat [.., 1024] in the permuted order (hi ==
+        # bins == 1024, so the delta slices below are full-width no-ops)
+        spec = CT.spec_hop(k.ct_mats, both, k.dft_precision)
+        r_x, d_x = spec[0], spec[1]
+        t_x = r_x - d_x
+        power = CT.power_flat(jnp.stack([r_x, t_x])) * k.level_factor
+        delta_power = CT.cross_flat(d_x, r_x + t_x) * k.level_factor
+        delta_weighted = delta_power * k.om_weight
+    else:
+        spec = _spec_ri_hop(k, both)
+        r_ri, d_ri = spec[0], spec[1]
+        t_ri = r_ri - d_ri
+        spec2 = jnp.stack([r_ri, t_ri])
+        power = (spec2[..., :bins] ** 2
+                 + spec2[..., bins:] ** 2) * k.level_factor
+        s_ri = r_ri + t_ri
+        delta_power = (d_ri[..., :hi] * s_ri[..., :hi]
+                       + d_ri[..., bins:bins + hi]
+                       * s_ri[..., bins:bins + hi]) * k.level_factor
+        delta_weighted = delta_power * k.om_weight[:hi]
     weighted = power * k.om_weight
     band_power = group_into_bands(k, weighted).astype(bdtype)
     unsmeared = spread(k, band_power + k.internal_noise)
     energy = jnp.sum(jnp.stack([ref, test])[..., 1:, :] ** 2, axis=-1)
     threshold_reached = energy >= C.EHS_ENERGY_THRESHOLD
-    s_ri = r_ri + t_ri
-    delta_power = (d_ri[..., :hi] * s_ri[..., :hi]
-                   + d_ri[..., bins:bins + hi] * s_ri[..., bins:bins + hi]
-                   ) * k.level_factor
-    delta_weighted = delta_power * k.om_weight[:hi]
     return power, weighted, unsmeared, threshold_reached, delta_weighted
 
 

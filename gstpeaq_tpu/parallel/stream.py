@@ -135,7 +135,8 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
             k.internal_noise, 1.5, 0.15, 0.5, 0.0, mod_ref, mod_test,
             adapted_ref, adapted_test))
         bw_ref, bw_test, bw_valid = (
-            fm(x) for x in MOVS.bandwidth(power[0], power[1]))
+            fm(x) for x in MOVS.bandwidth(power[0], power[1],
+                                          bin_idx=k.bin_idx))
         hi = k.group_bin_hi
         nmr_mean, disturbed = (fm(x) for x in MOVS.nmr(
             k.group_matrix[:hi], k.masking_difference,
@@ -147,7 +148,8 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
             weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if k.ehs_fwd is None else
             (k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im, k.ehs_fwd2),
-            delta_weighted=delta_w)
+            delta_weighted=delta_w, ehs_mask=k.ehs_mask,
+            ehs_dmat=k.ehs_dmat)
         ehs_val = fm(ehs_val)
 
         # --- streaming accumulation ---
@@ -399,7 +401,8 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
             weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if kf.ehs_fwd is None else
             (kf.ehs_fwd, kf.ehs_inv_re, kf.ehs_inv_im, kf.ehs_fwd2),
-            delta_weighted=delta_w)
+            delta_weighted=delta_w, ehs_mask=kf.ehs_mask,
+            ehs_dmat=kf.ehs_dmat)
         ehs_val = fmv(ehs_val)
         has_prev = state["has_above_fft"]
         active = has_prev | (jnp.cumsum(above.astype(jnp.int32)) > 0)

@@ -142,6 +142,27 @@ def test_advanced_pipeline_matches_spec():
     assert abs(got.odg - want.odg) < 1e-9
 
 
+def test_advanced_unified_input_poisoned_tail():
+    """The unified raw-input wrapper (models/advanced.unified_input) ships
+    ONE signal array truncated at min(Tmax, T_signal) — NOT at each path's
+    own flush boundary — so frames past a pair's flush frame carry real
+    audio instead of zeros and must be excluded by the valid masks alone.
+    Unequal, non-frame-aligned lengths maximize the poisoned tail (the
+    longer signal's audio fills frames the shorter one never reaches)."""
+    rng = np.random.default_rng(23)
+    n_ref, n_test = 40 * 1024 + 777, 38 * 1024 + 123
+    ref = (0.5 * TS.sine(n_ref, 440)
+           + 0.05 * rng.standard_normal(n_ref).astype(np.float32))
+    test = (ref[:n_test] + 0.02
+            * rng.standard_normal(n_test).astype(np.float32))
+    want = R.peaq_advanced(ref, test)
+    got = api.peaq(ref, test, advanced=True)
+    for name in C.MOV_ADVANCED_NAMES:
+        w, g = want.movs[name], got.movs[name]
+        assert abs(g - w) <= 1e-7 * (1 + abs(w)), (name, g, w)
+    assert abs(got.odg - want.odg) < 1e-9
+
+
 def test_stereo_channel_averaging():
     n = 30 * 1024
     sa, tr = TS.saw(n), TS.triangle(n)

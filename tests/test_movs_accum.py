@@ -100,7 +100,7 @@ def test_ehs_gemm_path_matches_fft_path():
     path to f32 roundoff."""
     p = EP.fft_ear_params(109)
     k = FE.build_consts(p, dtype=jnp.float32, spectrum_dtype=jnp.float32,
-                        use_dft_gemm=True)
+                        use_dft_gemm=True, use_ct_dft=False)
     assert k.ehs_fwd is not None
     w_r = jnp.asarray(np.abs(RNG.standard_normal((7, 2, 1025))) ** 2 + 1e-8,
                       jnp.float32)
