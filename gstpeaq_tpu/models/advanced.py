@@ -131,7 +131,7 @@ def make_pipeline(playback_level: float = 92.0,
             ehs_mats=None if kf.ehs_fwd is None else
             (kf.ehs_fwd, kf.ehs_inv_re, kf.ehs_inv_im, kf.ehs_fwd2),
             delta_weighted=delta_w, ehs_mask=kf.ehs_mask,
-            ehs_dmat=kf.ehs_dmat)
+            ehs_dmat=kf.ehs_dmat, precision=kf.dft_precision)
         ehs_val = fmv(ehs_val)
         cmf = committed_fft[:, None]
         one = jnp.ones_like(nmr_mean)

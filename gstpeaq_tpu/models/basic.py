@@ -145,7 +145,7 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
             ehs_mats=None if k.ehs_fwd is None else
             (k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im, k.ehs_fwd2),
             delta_weighted=delta_w, ehs_mask=k.ehs_mask,
-            ehs_dmat=k.ehs_dmat)
+            ehs_dmat=k.ehs_dmat, precision=k.dft_precision)
         ehs_val = fm(ehs_val)
 
         # ---- accumulate (channel means where multichannel) ----

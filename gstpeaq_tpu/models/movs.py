@@ -167,7 +167,7 @@ def prob_detect(e_ref: jnp.ndarray, e_test: jnp.ndarray,
 def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
         ref_thresh: jnp.ndarray, test_thresh: jnp.ndarray,
         settings: C.Settings, dtype, ehs_mats=None, delta_weighted=None,
-        ehs_mask=None, ehs_dmat=None):
+        ehs_mask=None, ehs_dmat=None, precision=None):
     """Error harmonic structure per frame; src/movs.c:1345-1443.
 
     ref/test_weighted: [CH, F, 1025]; ref/test_thresh: [CH, F] bool
@@ -194,6 +194,12 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
     wrong) — so those bins use the direct log(wt / wr), whose own f32
     error is ~eps.  The two branches agree to ~eps at the 0.5 crossover.
 
+    `precision`: MXU precision of the four DFT-GEMMs (default HIGHEST).
+    EHS accuracy is set by the d log-difference, not its transforms (the
+    autocorrelation is normalized scale-free), so the f32 tier passes its
+    HIGH GEMM precision — measured accuracy-neutral on the drift corpus
+    at ~2x the MXU rate.
+
     `ehs_dmat` given (with `ehs_mask`) = the CT-DFT permuted bin order
     (ops/ct_dft): inputs are full flat [..., 1024] grids; the 512 EHS
     bins are the head-grid lane slice, d's transforms use the
@@ -202,6 +208,7 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
     becomes the banded ehs_dmat matmul.  Lag-domain math is order-free.
     """
     n = C.MAXLAG
+    hp = precision if precision is not None else jax.lax.Precision.HIGHEST
     ct = ehs_dmat is not None
     if ct:
         assert ehs_mats is not None, "CT bin order requires the DFT-GEMMs"
@@ -222,7 +229,6 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
     # c[i] = sum_{k<256} d[k] d[k+i], via frequency domain like the reference
     if ehs_mats is not None:
         fwd512, inv_re, inv_im, _ = ehs_mats
-        hp = jax.lax.Precision.HIGHEST
         bins = n + 1
         g1 = jnp.dot(d, fwd512, precision=hp)           # [.., 2*257]
         # f2 = rfft([d[:256], 0...]): only the first 256 bins contribute
@@ -247,7 +253,7 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
     if ct:
         # sliding-window energy over the PERMUTED bin axis: the cumsum
         # below is order-dependent; the banded matmul is order-free
-        dk = d0 + jnp.dot(dsq, ehs_dmat, precision=jax.lax.Precision.HIGHEST)
+        dk = d0 + jnp.dot(dsq, ehs_dmat, precision=hp)
     else:
         dk = d0 + jnp.concatenate(
             [jnp.zeros_like(d0),
@@ -262,7 +268,7 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
     else:
         cwin = cnorm * window
     if ehs_mats is not None:
-        g = jnp.dot(cwin, ehs_mats[3], precision=jax.lax.Precision.HIGHEST)
+        g = jnp.dot(cwin, ehs_mats[3], precision=hp)
         half = g.shape[-1] // 2
         power = g[..., :half] ** 2 + g[..., half:] ** 2
     else:

@@ -149,7 +149,7 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
             ehs_mats=None if k.ehs_fwd is None else
             (k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im, k.ehs_fwd2),
             delta_weighted=delta_w, ehs_mask=k.ehs_mask,
-            ehs_dmat=k.ehs_dmat)
+            ehs_dmat=k.ehs_dmat, precision=k.dft_precision)
         ehs_val = fm(ehs_val)
 
         # --- streaming accumulation ---
@@ -402,7 +402,7 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
             ehs_mats=None if kf.ehs_fwd is None else
             (kf.ehs_fwd, kf.ehs_inv_re, kf.ehs_inv_im, kf.ehs_fwd2),
             delta_weighted=delta_w, ehs_mask=kf.ehs_mask,
-            ehs_dmat=kf.ehs_dmat)
+            ehs_dmat=kf.ehs_dmat, precision=kf.dft_precision)
         ehs_val = fmv(ehs_val)
         has_prev = state["has_above_fft"]
         active = has_prev | (jnp.cumsum(above.astype(jnp.int32)) > 0)
