@@ -62,9 +62,13 @@ def unified_input(pipe, n_fft: int, n_fb: int):
             assert t_fb % 128 == 0
             flat = sig_pair.reshape(*sig_pair.shape[:-2], -1)
             fb_pair = sig_pair[..., :t_fb // 128, :]
-        else:
-            flat = sig_pair
-            fb_pair = flat[..., :t_fb]
+            # both paths' data-boundary gates derive from ONE sliding-max
+            # pass over the blocked ref (they read the same samples)
+            return pipe(consts, flat[0, ..., :t_fft], flat[1, ..., :t_fft],
+                        fb_pair, valid_fft, valid_fb,
+                        thresh_blocked=sig_pair[0])
+        flat = sig_pair
+        fb_pair = flat[..., :t_fb]
         return pipe(consts, flat[0, ..., :t_fft], flat[1, ..., :t_fft],
                     fb_pair, valid_fft, valid_fb)
     return wrapped
@@ -100,14 +104,22 @@ def make_pipeline(playback_level: float = 92.0,
     consts = (kf0, kb0, avg_matrix0)
 
     def pipeline(consts, ref_fft, test_fft, fb_pair,
-                 valid_fft=None, valid_fb=None) -> AdvancedOutputs:
+                 valid_fft=None, valid_fb=None,
+                 thresh_blocked=None) -> AdvancedOutputs:
         kf, kb, avg_matrix = consts
         # ------------------ FFT path: SegmentalNMR + EHS ------------------
         n_fft = ref_fft.shape[-1] // C.FFT_STEPSIZE - 1
         rblocks = framing.blocks_hop(ref_fft, n_fft)   # [CH,F+1,1024]
         tblocks = framing.blocks_hop(test_fft, n_fft)
-        above_fft = framing.above_threshold_signal(
-            ref_fft.astype(sdtype), n_fft, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+        if thresh_blocked is not None:
+            # blocked unified input: one sliding-max pass over the ref
+            # serves both paths' gates (framing.sliding_max5_blocked)
+            max5 = framing.sliding_max5_blocked(thresh_blocked.astype(sdtype))
+            above_fft = framing.fft_gate_from_max5(max5, n_fft)
+        else:
+            above_fft = framing.above_threshold_signal(
+                ref_fft.astype(sdtype), n_fft, C.FFT_FRAMESIZE,
+                C.FFT_STEPSIZE)
         fft_frame_valid = None
         if valid_fft is not None:
             fft_frame_valid = jnp.arange(n_fft) < valid_fft
@@ -149,8 +161,12 @@ def make_pipeline(playback_level: float = 92.0,
         ref_fb = fb_pair[0]
         if fb_blocked:
             n_fb = ref_fb.shape[-2] * 128 // C.FB_FRAMESIZE
-            above_fb = framing.above_threshold_blocked(
-                ref_fb.astype(sdtype), n_fb)
+            if thresh_blocked is not None:
+                above_fb = framing.fb_gate_from_max5(
+                    max5[..., :ref_fb.shape[-2], :], n_fb)
+            else:
+                above_fb = framing.above_threshold_blocked(
+                    ref_fb.astype(sdtype), n_fb)
         else:
             n_fb = ref_fb.shape[-1] // C.FB_FRAMESIZE
             above_fb = framing.above_threshold_signal(

@@ -107,20 +107,16 @@ def above_threshold_signal(sig: jnp.ndarray, n_frames: int, frame_size: int,
     return tail_any[:n_frames] | full_any[1:n_frames + 1]
 
 
-def above_threshold_blocked(sig3: jnp.ndarray, n_frames: int) -> jnp.ndarray:
-    """above_threshold_signal for the FB path (frame == step == 192) on the
-    BLOCKED [CH, Tb, 128] device layout — lane shifts with a one-block
-    carry replace the flat [CH, T] form, so the sublane-padded retile of
-    the sample stream never materializes.
+def sliding_max5_blocked(sig3: jnp.ndarray) -> jnp.ndarray:
+    """Channel-max of the 5-sample sliding |.|-sums on the BLOCKED
+    [CH, Tb, 128] device layout — lane shifts with a one-block carry, so
+    the sublane-padded retile of the sample stream never materializes.
+    Returns m [Tb, 128] with m[j] = max_ch sum(|sig[j-4..j]|) (partial
+    sums for j < 4 — every consumer skips or never reads those).
 
-    Same decisions as above_threshold_signal(sig, n, 192, 192): windows
-    ending at frame-local samples 0..4 are skipped by the reference
-    (src/gstpeaq.c:1080-1099), so the partial 5-sample windows at the very
-    start of the stream are never examined and need no special-casing.
-    Requires Tb % 3 == 0 (true for every Pallas-aligned FB bucket).
-    """
-    tb = sig3.shape[-2]
-    assert tb % 3 == 0, tb
+    ONE pass serves both ear models' data-boundary tests (the FFT and FB
+    paths read the same reference samples; computing the flat-form test
+    per path cost ~1 ms/iter of duplicate sample-rate traffic)."""
     a = jnp.abs(sig3)
     ap = jnp.concatenate(
         [jnp.zeros_like(a[..., :1, :]), a[..., :-1, :]], axis=-2)
@@ -128,7 +124,16 @@ def above_threshold_blocked(sig3: jnp.ndarray, n_frames: int) -> jnp.ndarray:
     for s in range(1, 5):
         w = w + jnp.concatenate(
             [ap[..., 128 - s:], a[..., :128 - s]], axis=-1)
-    m = jnp.max(w, axis=-3)                      # over channels: [.., Tb, 128]
+    return jnp.max(w, axis=-3)                   # over channels: [.., Tb, 128]
+
+
+def fb_gate_from_max5(m: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """FB-path frame gates (frame == step == 192) from sliding_max5_blocked
+    output [.., Tb, 128].  Windows ending at frame-local samples 0..4 are
+    skipped as the reference does (src/gstpeaq.c:1080-1099).  Requires
+    Tb % 3 == 0 (true for every Pallas-aligned FB bucket)."""
+    tb = m.shape[-2]
+    assert tb % 3 == 0, tb
     v = m.reshape(*m.shape[:-2], tb // 3, 384)   # 3 blocks = 2 frames
     lane = np.arange(384)
     vm = jnp.where(jnp.asarray((lane % C.FB_FRAMESIZE) >= 5), v, 0.0)
@@ -137,3 +142,29 @@ def above_threshold_blocked(sig3: jnp.ndarray, n_frames: int) -> jnp.ndarray:
     fr = (jnp.stack([f0, f1], axis=-1).reshape(*m.shape[:-2], -1)
           >= C.FRAME_THRESHOLD)
     return fr[..., :n_frames]
+
+
+def fft_gate_from_max5(m: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """FFT-path frame gates (frame 2048 / hop 1024 = 8 blocked rows) from
+    sliding_max5_blocked output [.., Tb, 128], Tb >= (n_frames + 1) * 8.
+    Same decisions as above_threshold_signal(sig, n, 2048, 1024): the
+    tail hop skips its first 5 frame-local windows; full hops (and the
+    partial sums at j < 4, which only exist inside the never-consumed
+    hop 0 head) match exactly."""
+    rows = (n_frames + 1) * 8
+    r = jnp.max(m[..., :rows, :], axis=-1)                    # [.., rows]
+    m5 = jnp.where(jnp.asarray(np.arange(128) >= 5),
+                   m[..., :rows, :], 0.0)
+    r5 = jnp.max(m5, axis=-1)
+    first = jnp.asarray(np.arange(rows) % 8 == 0)
+    rt = jnp.where(first, r5, r)
+    h_full = jnp.max(r.reshape(*r.shape[:-1], -1, 8), axis=-1)   # [.., F+1]
+    h_tail = jnp.max(rt.reshape(*rt.shape[:-1], -1, 8), axis=-1)
+    th = C.FRAME_THRESHOLD
+    return (h_tail[..., :n_frames] >= th) | (h_full[..., 1:n_frames + 1] >= th)
+
+
+def above_threshold_blocked(sig3: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """above_threshold_signal for the FB path on the BLOCKED [CH, Tb, 128]
+    device layout (see sliding_max5_blocked / fb_gate_from_max5)."""
+    return fb_gate_from_max5(sliding_max5_blocked(sig3), n_frames)
