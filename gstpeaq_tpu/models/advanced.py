@@ -21,7 +21,6 @@ from ..ops import fft_ear as FE
 from ..ops import framing
 from . import accum
 from . import level_adapt
-from . import modulation as modproc
 from . import movs as MOVS
 from . import nn
 
@@ -184,10 +183,11 @@ def make_pipeline(playback_level: float = 92.0,
         # no boundary transpose at all
         ref_e, test_e = exc2[0], exc2[1]
 
-        adapted_ref, adapted_test, _ = level_adapt.level_adapt(
-            kb.adapt_a, avg_matrix, ref_e, test_e)
-        mod2, avg_loud2, _ = modproc.modulation(
-            kb.adapt_a, uns2, C.FB_FRAMESIZE)
+        # level-adapter stage 1 + both modulation smoothers fused into one
+        # banded recurrence call (four independent adapt_a recurrences)
+        adapted_ref, adapted_test, mod2, avg_loud2 = (
+            level_adapt.level_adapt_fused_mod(
+                kb.adapt_a, avg_matrix, exc2, uns2, C.FB_FRAMESIZE))
         mod_ref, mod_test = mod2[0], mod2[1]
         avg_loud_ref = avg_loud2[0]
 

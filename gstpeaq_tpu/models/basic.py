@@ -28,7 +28,6 @@ from ..ops import fft_ear as FE
 from ..ops import framing
 from . import accum
 from . import level_adapt
-from . import modulation as modproc
 from . import movs as MOVS
 from . import nn
 
@@ -100,11 +99,11 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         uns_t = jnp.swapaxes(unsmeared, -1, -2)  # [2,CH,Z,F]
         exc = FE.time_smear(k, uns_t, axis=-1)
         ref_e, test_e = exc[0], exc[1]           # [CH,Z,F]
-        adapted_ref, adapted_test, _ = level_adapt.level_adapt(
-            k.adapt_a, avg_matrix, ref_e, test_e)
-        # both signals through one modulation pass
-        mod2, avg_loud2, _ = modproc.modulation(
-            k.adapt_a, uns_t, C.FFT_STEPSIZE)
+        # level-adapter stage 1 + both modulation smoothers fused into one
+        # banded recurrence call (four independent adapt_a recurrences)
+        adapted_ref, adapted_test, mod2, avg_loud2 = (
+            level_adapt.level_adapt_fused_mod(
+                k.adapt_a, avg_matrix, exc, uns_t, C.FFT_STEPSIZE))
         mod_ref, mod_test = mod2[0], mod2[1]
         avg_loud_ref = avg_loud2[0]
 

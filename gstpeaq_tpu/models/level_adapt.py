@@ -42,6 +42,80 @@ def sliding_average_matrix(band_count: int) -> np.ndarray:
     return mat
 
 
+def adapt_stage2(a: jnp.ndarray, avg_matrix: jnp.ndarray,
+                 ref_excitation: jnp.ndarray, test_excitation: jnp.ndarray,
+                 ref_filt: jnp.ndarray, test_filt: jnp.ndarray,
+                 state2=None):
+    """level_adapt AFTER its stage-1 smoothing (src/leveladapter.c:260-340):
+    level correction, num/den smoothers, pattern correlation.  Split out so
+    the batch pipelines can run stage 1 fused with the modulation smoothers
+    (level_adapt_fused_mod) — the four adapt_a recurrences are mutually
+    independent, so one banded call replaces two.
+
+    state2: (filt_num, filt_den, pattcorr_ref, pattcorr_test) or None.
+    Returns (adapted_ref, adapted_test, new_state2)."""
+    s = state2 if state2 is not None else (None,) * 4
+    num = jnp.sum(jnp.sqrt(ref_filt * test_filt), axis=-2)
+    den = jnp.sum(test_filt, axis=-2)
+    lev_corr = (num * num / (den * den))[..., None, :]   # [..., 1, F]
+    louder_ref = lev_corr > 1.0
+    levcorr_ref = jnp.where(louder_ref, ref_excitation / lev_corr,
+                            ref_excitation)
+    levcorr_test = jnp.where(louder_ref, test_excitation,
+                             test_excitation * lev_corr)
+    # (48); note the input terms are *not* scaled by (1-a);
+    # src/leveladapter.c:291-298
+    pair2 = None if s[0] is None else jnp.stack([s[0], s[1]])
+    nd = iir.linear_recurrence_banded(
+        a, jnp.stack([levcorr_test * levcorr_ref,
+                      levcorr_ref * levcorr_ref]), axis=-1, y0=pair2)
+    filt_num, filt_den = nd[0], nd[1]
+    num_ge = filt_num >= filt_den
+    pattadapt_ref = jnp.where(num_ge, 1.0, filt_num / filt_den)
+    pattadapt_test = jnp.where(num_ge, filt_den / filt_num, 1.0)
+    hp = jax.lax.Precision.HIGHEST
+    ra = jnp.matmul(avg_matrix.T,
+                    jnp.stack([pattadapt_ref, pattadapt_test]),
+                    precision=hp)
+    a_col = a[:, None]
+    pair4 = None if s[2] is None else jnp.stack([s[2], s[3]])
+    pc = iir.linear_recurrence_banded(a, (1.0 - a_col) * ra, axis=-1,
+                                      y0=pair4)
+    pattcorr_ref, pattcorr_test = pc[0], pc[1]
+    new_state2 = tuple(x[..., -1] for x in (
+        filt_num, filt_den, pattcorr_ref, pattcorr_test))
+    return (levcorr_ref * pattcorr_ref, levcorr_test * pattcorr_test,
+            new_state2)
+
+
+def level_adapt_fused_mod(a: jnp.ndarray, avg_matrix: jnp.ndarray,
+                          exc2: jnp.ndarray, uns2: jnp.ndarray,
+                          step_size: int):
+    """Fused level_adapt(exc2[0], exc2[1]) + modulation(uns2) for the batch
+    pipelines: the level adapter's stage-1 excitation smoothers and the
+    modulation processor's derivative/loudness smoothers are four mutually
+    independent adapt_a recurrences over the same [.., Z, F] grid — one
+    stacked banded call replaces two (each call pays its own Toeplitz
+    einsum dispatch, entry scan, and FMA pass).  Per-slice results are
+    bit-identical to the separate calls (the streaming twins keep those).
+
+    exc2/uns2: [2(sig), ..., Z, F].  Returns
+    (adapted_ref, adapted_test, mod2, avg_loud2)."""
+    from ..constants import SAMPLING_RATE
+    a_col = a[:, None]
+    loud = uns2 ** 0.3
+    prev = jnp.concatenate(
+        [jnp.zeros_like(loud[..., :1]), loud[..., :-1]], axis=-1)
+    deriv = (SAMPLING_RATE / step_size) * jnp.abs(loud - prev)
+    drives = (1.0 - a_col) * jnp.stack([exc2, deriv, loud])
+    filt = iir.linear_recurrence_banded(a, drives, axis=-1)
+    exc_filt, filt_deriv, filt_loud = filt[0], filt[1], filt[2]
+    mod2 = filt_deriv / (1.0 + filt_loud / 0.3)
+    adapted_ref, adapted_test, _ = adapt_stage2(
+        a, avg_matrix, exc2[0], exc2[1], exc_filt[0], exc_filt[1])
+    return adapted_ref, adapted_test, mod2, filt_loud
+
+
 def level_adapt(a: jnp.ndarray, avg_matrix: jnp.ndarray,
                 ref_excitation: jnp.ndarray, test_excitation: jnp.ndarray,
                 state=None):
@@ -58,6 +132,7 @@ def level_adapt(a: jnp.ndarray, avg_matrix: jnp.ndarray,
     # The six per-band recurrences batch pairwise into three banded
     # Toeplitz-GEMM calls (a leading ref/test stack axis): same math per
     # slice, half the recurrence-GEMM dispatches with doubled M rows.
+    # (45)/(48) in BS.1387; src/leveladapter.c:260-340.
     s = state if state is not None else (None,) * 6
     a_col = a[:, None]                # broadcast against the band SUBLANES
     pair0 = None if s[0] is None else jnp.stack([s[0], s[1]])
@@ -65,35 +140,8 @@ def level_adapt(a: jnp.ndarray, avg_matrix: jnp.ndarray,
         a, (1.0 - a_col) * jnp.stack([ref_excitation, test_excitation]),
         axis=-1, y0=pair0)
     ref_filt, test_filt = filt[0], filt[1]
-    # (45) in BS.1387; src/leveladapter.c:260-277
-    num = jnp.sum(jnp.sqrt(ref_filt * test_filt), axis=-2)
-    den = jnp.sum(test_filt, axis=-2)
-    lev_corr = (num * num / (den * den))[..., None, :]   # [..., 1, F]
-    louder_ref = lev_corr > 1.0
-    levcorr_ref = jnp.where(louder_ref, ref_excitation / lev_corr,
-                            ref_excitation)
-    levcorr_test = jnp.where(louder_ref, test_excitation,
-                             test_excitation * lev_corr)
-    # (48); note the input terms are *not* scaled by (1-a);
-    # src/leveladapter.c:291-298
-    pair2 = None if s[2] is None else jnp.stack([s[2], s[3]])
-    nd = iir.linear_recurrence_banded(
-        a, jnp.stack([levcorr_test * levcorr_ref,
-                      levcorr_ref * levcorr_ref]), axis=-1, y0=pair2)
-    filt_num, filt_den = nd[0], nd[1]
-    num_ge = filt_num >= filt_den
-    pattadapt_ref = jnp.where(num_ge, 1.0, filt_num / filt_den)
-    pattadapt_test = jnp.where(num_ge, filt_den / filt_num, 1.0)
-    hp = jax.lax.Precision.HIGHEST
-    # transposed-layout band average: out[.., k, f] = sum_w mat[w, k] x[.., w, f]
-    ra = jnp.matmul(avg_matrix.T,
-                    jnp.stack([pattadapt_ref, pattadapt_test]),
-                    precision=hp)
-    pair4 = None if s[4] is None else jnp.stack([s[4], s[5]])
-    pc = iir.linear_recurrence_banded(a, (1.0 - a_col) * ra, axis=-1,
-                                      y0=pair4)
-    pattcorr_ref, pattcorr_test = pc[0], pc[1]
-    new_state = tuple(x[..., -1] for x in (
-        ref_filt, test_filt, filt_num, filt_den, pattcorr_ref, pattcorr_test))
-    return (levcorr_ref * pattcorr_ref, levcorr_test * pattcorr_test,
-            new_state)
+    adapted_ref, adapted_test, st2 = adapt_stage2(
+        a, avg_matrix, ref_excitation, test_excitation, ref_filt, test_filt,
+        state2=None if s[2] is None else s[2:])
+    new_state = (ref_filt[..., -1], test_filt[..., -1]) + st2
+    return adapted_ref, adapted_test, new_state
