@@ -125,7 +125,7 @@ def make_pipeline(playback_level: float = 92.0,
             above_fft = above_fft & fft_frame_valid
         _, _, committed_fft = accum.activity(above_fft)
 
-        power, weighted, unsmeared, thresh, delta_w = FE.stateless_pair_hop(
+        power, unsmeared, thresh, delta_p = FE.stateless_pair_hop(
             kf, rblocks, tblocks)
         # only the REF smeared excitation is consumed (NMR masking); smear
         # it alone in the transposed layout and hand nmr the [CH, F, Z] view
@@ -134,15 +134,16 @@ def make_pipeline(playback_level: float = 92.0,
         hi = kf.group_bin_hi
         fmv = lambda x: jnp.swapaxes(x, -1, -2)   # [CH,F] -> accum [F,CH]
         nmr_mean, _ = MOVS.nmr(kf.group_matrix[:hi], kf.masking_difference,
-                               weighted[0][..., :hi], weighted[1][..., :hi],
-                               ref_exc, delta_weighted=delta_w)
+                               power[0][..., :hi], power[1][..., :hi],
+                               ref_exc, delta_weighted=delta_p)
         nmr_mean = fmv(nmr_mean)
         ehs_val, ehs_valid = MOVS.ehs(
-            weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
+            power[0], power[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if kf.ehs_fwd is None else
             (kf.ehs_fwd, kf.ehs_inv_re, kf.ehs_inv_im, kf.ehs_fwd2),
-            delta_weighted=delta_w, ehs_mask=kf.ehs_mask,
-            ehs_dmat=kf.ehs_dmat, precision=kf.dft_precision)
+            delta_weighted=delta_p, ehs_mask=kf.ehs_mask,
+            ehs_dmat=kf.ehs_dmat, precision=kf.dft_precision,
+            ehs_zero=kf.ehs_zero)
         ehs_val = fmv(ehs_val)
         cmf = committed_fft[:, None]
         one = jnp.ones_like(nmr_mean)

@@ -84,10 +84,9 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         has, active, committed = accum.activity(above)
 
         # ---- stage A: stateless ear model on both signals ----
-        power, weighted, unsmeared, thresh, delta_w = FE.stateless_pair_hop(
+        power, unsmeared, thresh, delta_p = FE.stateless_pair_hop(
             k, ref_blocks, test_blocks)
         ref_p, test_p = power[0], power[1]
-        ref_w, test_w = weighted[0], weighted[1]
 
         # ---- stage B: scans over the frame axis ----
         # transposed MOV-tail layout [2, CH, Z, F]: bands on sublanes,
@@ -134,17 +133,18 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         hi = k.group_bin_hi
         nmr_mean, disturbed = (fm(x) for x in MOVS.nmr(
             k.group_matrix[:hi], k.masking_difference,
-            ref_w[..., :hi], test_w[..., :hi],
+            ref_p[..., :hi], test_p[..., :hi],
             jnp.swapaxes(ref_e, -1, -2),       # [CH, F, Z] for the
-            delta_weighted=delta_w))           # bin-domain quotient
+            delta_weighted=delta_p))           # bin-domain quotient
         p_bin, steps_bin = MOVS.prob_detect(
             ref_e, test_e, settings.use_floor_for_steps_above_threshold)
         ehs_val, ehs_valid = MOVS.ehs(
-            ref_w, test_w, thresh[0], thresh[1], settings, sdtype,
+            ref_p, test_p, thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if k.ehs_fwd is None else
             (k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im, k.ehs_fwd2),
-            delta_weighted=delta_w, ehs_mask=k.ehs_mask,
-            ehs_dmat=k.ehs_dmat, precision=k.dft_precision)
+            delta_weighted=delta_p, ehs_mask=k.ehs_mask,
+            ehs_dmat=k.ehs_dmat, precision=k.dft_precision,
+            ehs_zero=k.ehs_zero)
         ehs_val = fm(ehs_val)
 
         # ---- accumulate (channel means where multichannel) ----

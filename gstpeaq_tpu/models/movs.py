@@ -167,7 +167,7 @@ def prob_detect(e_ref: jnp.ndarray, e_test: jnp.ndarray,
 def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
         ref_thresh: jnp.ndarray, test_thresh: jnp.ndarray,
         settings: C.Settings, dtype, ehs_mats=None, delta_weighted=None,
-        ehs_mask=None, ehs_dmat=None, precision=None):
+        ehs_mask=None, ehs_dmat=None, precision=None, ehs_zero=None):
     """Error harmonic structure per frame; src/movs.c:1345-1443.
 
     ref/test_weighted: [CH, F, 1025]; ref/test_thresh: [CH, F] bool
@@ -193,6 +193,10 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
     eps * wr, i.e. O(1) error in d (corpus v2's MDCT items drove EHS 3x
     wrong) — so those bins use the direct log(wt / wr), whose own f32
     error is ~eps.  The two branches agree to ~eps at the 0.5 crossover.
+
+    `ehs_zero`: per-bin dead mask over the 512 EHS bins (see
+    FFTEarConsts.ehs_zero) — required whenever the inputs are plain
+    power spectra rather than weighted ones.
 
     `precision`: MXU precision of the four DFT-GEMMs (default HIGHEST).
     EHS accuracy is set by the d log-difference, not its transforms (the
@@ -226,6 +230,11 @@ def ehs(ref_weighted: jnp.ndarray, test_weighted: jnp.ndarray,
         d = jnp.where((rw == 0.0) & (tw == 0.0), 0.0, d)
     else:
         d = jnp.where((rw == 0.0) & (tw == 0.0), 0.0, jnp.log(tw / rw))
+    if ehs_zero is not None:
+        # pipelines feed plain POWER; bins whose om weight is 0 (the DC
+        # bin) had identically-zero weighted spectra, which the mask above
+        # used to zero — reproduce that (FFTEarConsts.ehs_zero)
+        d = jnp.where(ehs_zero, 0.0, d)
     # c[i] = sum_{k<256} d[k] d[k+i], via frequency domain like the reference
     if ehs_mats is not None:
         fwd512, inv_re, inv_im, _ = ehs_mats

@@ -63,6 +63,11 @@ class FFTEarConsts:
     bin_idx: Any = None
     ehs_mask: Any = None
     ehs_dmat: Any = None
+    # EHS dead-bin mask (om_weight == 0, i.e. the DC bin): the weighted
+    # spectrum is identically zero there so the reference's (rw==0 & tw==0)
+    # test zeroes d; the pipelines feed EHS plain POWER (om folded into the
+    # grouping rows instead), where those bins are nonzero — mask them
+    ehs_zero: Any = None
 
 
 # Registered as a pytree with the arrays as leaves so the bundle can be
@@ -75,7 +80,7 @@ _FFT_LEAF_FIELDS = (
     "internal_noise", "a_uc_log", "a_uc", "g_il", "lower_matrix",
     "spread_norm", "delta_z", "ear_a", "adapt_a", "masking_difference",
     "threshold", "excitation_threshold", "loudness_factor",
-    "ct_mats", "bin_idx", "ehs_mask", "ehs_dmat")
+    "ct_mats", "bin_idx", "ehs_mask", "ehs_dmat", "ehs_zero")
 
 
 def _fft_consts_flatten(k):
@@ -140,9 +145,16 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
     if use_ct_dft is None:
         use_ct_dft = use_dft_gemm
     om_weight = params.outer_middle_ear_weight
-    group_matrix = params.group_matrix
+    # the outer/middle-ear weight is FOLDED into the grouping rows: the
+    # weighted spectrum (power * om) then never materializes — grouping and
+    # NMR contract (om * G) against plain POWER quantities, and EHS's
+    # log-ratios/masks are om-invariant (om > 0 cancels in wt/wr and
+    # dl/wr).  ~0.7 GB/iter of bin-domain HBM traffic gone (basic mb32).
+    group_matrix = params.group_matrix * om_weight[:, None]
     dft = None
     ct_mats = bin_idx = ehs_mask = ehs_dmat = None
+    zero_nat = om_weight[:2 * C.MAXLAG] == 0.0
+    ehs_zero = jnp.asarray(zero_nat)
     if use_ct_dft:
         ct_mats = CT.build_mats(params.hann_window, spectrum_dtype)
         bin_idx = jnp.asarray(CT.bin_index(), jnp.int32)
@@ -186,6 +198,7 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
             hperm = CT.head_perm()
             fwd = fwd[hperm]
             ehs_mask = jnp.asarray(CT.head_mask(C.MAXLAG))
+            ehs_zero = jnp.asarray(zero_nat[hperm])
             # dk[i] = d0 + sum_{j<i} (dsq[m+j] - dsq[j])  as a banded
             # matmul over the (permuted) bin axis: D[b, i] = +1 for
             # m <= b < m + i, -1 for b < i (column 0 is zero)
@@ -233,6 +246,7 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
         bin_idx=bin_idx,
         ehs_mask=ehs_mask,
         ehs_dmat=ehs_dmat,
+        ehs_zero=ehs_zero,
     )
 
 
@@ -289,7 +303,9 @@ def irfft_flat(x: jnp.ndarray) -> jnp.ndarray:
 
 def group_into_bands(k: FFTEarConsts, spectrum: jnp.ndarray) -> jnp.ndarray:
     """Critical-band grouping with the 1e-12 floor;
-    src/fftearmodel.c:603-620.  spectrum: [..., 1025] -> [..., Z]."""
+    src/fftearmodel.c:603-620.  spectrum: the POWER spectrum [..., bins]
+    -> [..., Z] (the outer/middle-ear weight is folded into
+    k.group_matrix's rows, so the weighted spectrum never materializes)."""
     # explicit precision: TPU's DEFAULT matmul runs in bfloat16, whose
     # 2^-8 quantization of the band powers was the dominant ODG noise
     # of the float32 tier (1.1e-2 -> 1.3e-4 once fixed)
@@ -366,8 +382,10 @@ def stateless(k: FFTEarConsts, frames: jnp.ndarray):
         windowed = x * k.hann
         spec = rfft_flat(windowed)[..., :k.spec_bins]
         power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * k.level_factor
+    # `weighted` is returned for the spec tests only; the pipelines'
+    # grouping/NMR/EHS all consume plain power (om folded into the rows)
     weighted = power * k.om_weight
-    band_power = group_into_bands(k, weighted).astype(bdtype)
+    band_power = group_into_bands(k, power).astype(bdtype)
     unsmeared = spread(k, band_power + k.internal_noise)
     energy = jnp.sum(x[..., C.FFT_FRAMESIZE // 2:] ** 2, axis=-1)
     threshold_reached = energy >= C.EHS_ENERGY_THRESHOLD
@@ -404,19 +422,24 @@ def stateless_pair_hop(k: FFTEarConsts, ref_blocks: jnp.ndarray,
     input difference is EXACT in floating point, so the difference
     spectrum D's error scales with |D| (the distortion) instead of |R|
     (the signal), and the test spectrum reconstructs as T = R - D with
-    the same noise as computing it directly.  The weighted power
-    difference for NMR is then
-        wr - wt = level * om * (Dre * Sre + Dim * Sim),   S = R + T,
-    algebraically identical to the (sqrt(wr) - sqrt(wt))^2 form but
+    the same noise as computing it directly.  The power difference for
+    NMR is then
+        pr - pt = level * (Dre * Sre + Dim * Sim),   S = R + T,
+    algebraically identical to the (sqrt(pr) - sqrt(pt))^2 form but
     immune to the f32 cancellation that dominated the spectrum-f32
     tiers' ODG drift on near-transparent pairs (~9% relative NMR error).
     Only grouping-supported bins (group_bin_hi, ~18 kHz) are kept.
 
+    The WEIGHTED spectra never materialize: the outer/middle-ear weight
+    is folded into k.group_matrix's rows (grouping AND the NMR noise
+    contraction), and EHS's log-ratios and zero-masks are om-invariant
+    (om > 0 cancels in pt/pr and dp/pr).
+
     ref/test_blocks: [..., CH, F + 1, 1024] hop blocks (channel-major,
     see framing.blocks_hop).  Returns
-    (power, weighted, unsmeared, energy_threshold, delta_weighted) with
-    the first four stacked [2(ref,test), ..., CH, F, :] and
-    delta_weighted [..., CH, F, group_bin_hi].
+    (power, unsmeared, energy_threshold, delta_power) with the first
+    three stacked [2(ref,test), ..., CH, F, :] and delta_power
+    [..., CH, F, group_bin_hi].
     """
     sdtype = k.hann.dtype
     bdtype = k.internal_noise.dtype
@@ -434,7 +457,6 @@ def stateless_pair_hop(k: FFTEarConsts, ref_blocks: jnp.ndarray,
         t_x = r_x - d_x
         power = CT.power_flat(jnp.stack([r_x, t_x])) * k.level_factor
         delta_power = CT.cross_flat(d_x, r_x + t_x) * k.level_factor
-        delta_weighted = delta_power * k.om_weight
     else:
         spec = _spec_ri_hop(k, both)
         r_ri, d_ri = spec[0], spec[1]
@@ -446,13 +468,11 @@ def stateless_pair_hop(k: FFTEarConsts, ref_blocks: jnp.ndarray,
         delta_power = (d_ri[..., :hi] * s_ri[..., :hi]
                        + d_ri[..., bins:bins + hi]
                        * s_ri[..., bins:bins + hi]) * k.level_factor
-        delta_weighted = delta_power * k.om_weight[:hi]
-    weighted = power * k.om_weight
-    band_power = group_into_bands(k, weighted).astype(bdtype)
+    band_power = group_into_bands(k, power).astype(bdtype)
     unsmeared = spread(k, band_power + k.internal_noise)
     energy = jnp.sum(jnp.stack([ref, test])[..., 1:, :] ** 2, axis=-1)
     threshold_reached = energy >= C.EHS_ENERGY_THRESHOLD
-    return power, weighted, unsmeared, threshold_reached, delta_weighted
+    return power, unsmeared, threshold_reached, delta_power
 
 
 def time_smear(k: FFTEarConsts, unsmeared: jnp.ndarray, axis: int = 0,

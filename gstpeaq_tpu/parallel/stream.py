@@ -103,7 +103,7 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
             ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE,
             C.FFT_STEPSIZE)  # [Fc]
 
-        power, weighted, unsmeared, thresh, delta_w = FE.stateless_pair_hop(
+        power, unsmeared, thresh, delta_p = FE.stateless_pair_hop(
             k, ref_blocks, test_blocks)
         # transposed MOV-tail layout [2, CH, Z, F] (see models/basic.py)
         uns_t = jnp.swapaxes(unsmeared, -1, -2)
@@ -140,16 +140,17 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         hi = k.group_bin_hi
         nmr_mean, disturbed = (fm(x) for x in MOVS.nmr(
             k.group_matrix[:hi], k.masking_difference,
-            weighted[0][..., :hi], weighted[1][..., :hi],
-            jnp.swapaxes(ref_e, -1, -2), delta_weighted=delta_w))
+            power[0][..., :hi], power[1][..., :hi],
+            jnp.swapaxes(ref_e, -1, -2), delta_weighted=delta_p))
         p_bin, steps_bin = MOVS.prob_detect(
             ref_e, test_e, settings.use_floor_for_steps_above_threshold)
         ehs_val, ehs_valid = MOVS.ehs(
-            weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
+            power[0], power[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if k.ehs_fwd is None else
             (k.ehs_fwd, k.ehs_inv_re, k.ehs_inv_im, k.ehs_fwd2),
-            delta_weighted=delta_w, ehs_mask=k.ehs_mask,
-            ehs_dmat=k.ehs_dmat, precision=k.dft_precision)
+            delta_weighted=delta_p, ehs_mask=k.ehs_mask,
+            ehs_dmat=k.ehs_dmat, precision=k.dft_precision,
+            ehs_zero=k.ehs_zero)
         ehs_val = fm(ehs_val)
 
         # --- streaming accumulation ---
@@ -383,7 +384,7 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
         test_blocks = framing.blocks_hop(test_sig, n_frames)
         above = framing.above_threshold_signal(
             ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
-        power, weighted, unsmeared, thresh, delta_w = FE.stateless_pair_hop(
+        power, unsmeared, thresh, delta_p = FE.stateless_pair_hop(
             kf, ref_blocks, test_blocks)
         # both signals' smear states are carried (checkpoint format), but
         # only the REF excitation is consumed (NMR masking)
@@ -393,16 +394,17 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
         hi = kf.group_bin_hi
         fmv = lambda x: jnp.swapaxes(x, -1, -2)  # [CH,F] -> accum [F,CH]
         nmr_mean, _ = MOVS.nmr(kf.group_matrix[:hi], kf.masking_difference,
-                               weighted[0][..., :hi], weighted[1][..., :hi],
+                               power[0][..., :hi], power[1][..., :hi],
                                jnp.swapaxes(exc[0], -1, -2),
-                               delta_weighted=delta_w)
+                               delta_weighted=delta_p)
         nmr_mean = fmv(nmr_mean)
         ehs_val, ehs_valid = MOVS.ehs(
-            weighted[0], weighted[1], thresh[0], thresh[1], settings, sdtype,
+            power[0], power[1], thresh[0], thresh[1], settings, sdtype,
             ehs_mats=None if kf.ehs_fwd is None else
             (kf.ehs_fwd, kf.ehs_inv_re, kf.ehs_inv_im, kf.ehs_fwd2),
-            delta_weighted=delta_w, ehs_mask=kf.ehs_mask,
-            ehs_dmat=kf.ehs_dmat, precision=kf.dft_precision)
+            delta_weighted=delta_p, ehs_mask=kf.ehs_mask,
+            ehs_dmat=kf.ehs_dmat, precision=kf.dft_precision,
+            ehs_zero=kf.ehs_zero)
         ehs_val = fmv(ehs_val)
         has_prev = state["has_above_fft"]
         active = has_prev | (jnp.cumsum(above.astype(jnp.int32)) > 0)

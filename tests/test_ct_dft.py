@@ -44,16 +44,16 @@ def test_spectrum_matches_dense():
     out_d = FE.stateless_pair_hop(dense, blocks, 0.9 * blocks)
     out_c = FE.stateless_pair_hop(ct, blocks, 0.9 * blocks)
     perm = CT.bin_perm()
-    # power/weighted: permuted 1024 grid vs natural 1025 (Nyquist unused)
-    for a, b in ((out_c[0], out_d[0]), (out_c[1], out_d[1])):
-        assert rel_err(np.asarray(a), np.asarray(b)[..., perm]) < 1e-11
+    # power: permuted 1024 grid vs natural 1025 (Nyquist unused)
+    assert rel_err(np.asarray(out_c[0]),
+                   np.asarray(out_d[0])[..., perm]) < 1e-11
     # band-domain outputs are identical up to summation order
-    assert rel_err(out_c[2], out_d[2]) < 1e-11          # unsmeared exc
-    np.testing.assert_array_equal(np.asarray(out_c[3]), np.asarray(out_d[3]))
+    assert rel_err(out_c[1], out_d[1]) < 1e-11          # unsmeared exc
+    np.testing.assert_array_equal(np.asarray(out_c[2]), np.asarray(out_d[2]))
     # delta path: dense is truncated at the grouping support
     hi = dense.group_bin_hi
-    d_c = np.asarray(out_c[4])[..., np.argsort(perm)][..., :hi]
-    assert rel_err(d_c, np.asarray(out_d[4])) < 1e-11
+    d_c = np.asarray(out_c[3])[..., np.argsort(perm)][..., :hi]
+    assert rel_err(d_c, np.asarray(out_d[3])) < 1e-11
 
 
 def test_whole_frame_spectrum_matches_dense():

@@ -231,10 +231,10 @@ def main():
                 blocks = jnp.stack([ref_blocks, test_blocks])
                 frames = jnp.concatenate(
                     [blocks[..., :-1, :], blocks[..., 1:, :]], axis=-1)
-                power, weighted, unsmeared, thr = _fn(k, frames)
+                power, _, unsmeared, thr = _fn(k, frames)
                 hi = k.group_bin_hi
-                delta_w = weighted[0][..., :hi] - weighted[1][..., :hi]
-                return power, weighted, unsmeared, thr, delta_w
+                delta_p = power[0][..., :hi] - power[1][..., :hi]
+                return power, unsmeared, thr, delta_p
         else:
             orig = getattr(mod, attr)
             _, _, repl = make(orig)      # rebuild closure over the original
