@@ -194,6 +194,10 @@ def peaq(ref, test, advanced: bool = False, playback_level: float = 92.0,
                                 C.FFT_STEPSIZE)
         test_fft = _pad_bucketed(test, n_fft, n_fft_b, C.FFT_FRAMESIZE,
                                  C.FFT_STEPSIZE)
+        # blocked [CH, T/128, 128] device-tile layout (free host reshape;
+        # T = (F+1)*1024 is always 128-divisible) — see models/basic.py
+        ref_fft = ref_fft.reshape(ref_fft.shape[0], -1, 128)
+        test_fft = test_fft.reshape(test_fft.shape[0], -1, 128)
         fn = _jitted_basic(n_fft_b, ref.shape[1], playback_level, settings,
                            dtype, band_count or C.BASIC_BAND_COUNT)
         out = fn(jax.device_put(ref_fft), jax.device_put(test_fft),

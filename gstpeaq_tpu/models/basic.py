@@ -65,15 +65,26 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         # consts passed as a pytree ARGUMENT: closure constants (16 MB DFT
         # matrix) inline into the HLO and slow compiles ~60x on this backend
         # ref/test_sig: [CH, T] channel-major (the sample axis must be the
-        # contiguous minor: [T, CH]'s 2-lane transposes cost ~3 ms/iter)
+        # contiguous minor: [T, CH]'s 2-lane transposes cost ~3 ms/iter),
+        # or the blocked [CH, T/128, 128] device-tile layout (host-shipped;
+        # the data-boundary gate then rides the lane-shift sliding-max
+        # instead of a flat sample-rate pass + concat)
         k, avg_matrix = consts
-        n_frames = ref_sig.shape[-1] // C.FFT_STEPSIZE - 1
+        if ref_sig.ndim == 3:            # blocked [CH, Tb, 128]
+            n_frames = ref_sig.shape[-2] * 128 // C.FFT_STEPSIZE - 1
+            above = framing.fft_gate_from_max5(
+                framing.sliding_max5_blocked(ref_sig.astype(sdtype)),
+                n_frames)
+            ref_sig = ref_sig.reshape(*ref_sig.shape[:-2], -1)
+            test_sig = test_sig.reshape(*test_sig.shape[:-2], -1)
+        else:
+            n_frames = ref_sig.shape[-1] // C.FFT_STEPSIZE - 1
+            above = framing.above_threshold_signal(
+                ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE,
+                C.FFT_STEPSIZE)  # [F]
         ref_blocks = framing.blocks_hop(ref_sig, n_frames)  # [CH,F+1,1024]
         test_blocks = framing.blocks_hop(test_sig, n_frames)
 
-        above = framing.above_threshold_signal(
-            ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE,
-            C.FFT_STEPSIZE)  # [F]
         frame_valid = None
         if valid_frames is not None:
             # bucketed batching: frames past a pair's own flush frame can

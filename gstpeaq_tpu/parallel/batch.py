@@ -113,8 +113,12 @@ def prepare_chunk(refs, tests, buckets):
     cost).  When tile-aligned it ships in the blocked
     [B, 2, CH, Tmax/128, 128] device layout (free host reshape)."""
     if len(buckets) == 1:
-        return _pad_pairwise(refs, tests, buckets[0], C.FFT_FRAMESIZE,
-                             C.FFT_STEPSIZE)
+        out_r, out_t, valid = _pad_pairwise(refs, tests, buckets[0],
+                                            C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+        # blocked [B, CH, T/128, 128] device-tile layout (free host
+        # reshape; T is always 128-divisible) — see models/basic.py
+        return (out_r.reshape(*out_r.shape[:-1], -1, 128),
+                out_t.reshape(*out_t.shape[:-1], -1, 128), valid)
     t_fft = framing.padded_length(buckets[0], C.FFT_FRAMESIZE,
                                   C.FFT_STEPSIZE)
     t_fb = buckets[1] * C.FB_FRAMESIZE
