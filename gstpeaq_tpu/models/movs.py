@@ -153,8 +153,16 @@ def prob_detect(e_ref: jnp.ndarray, e_test: jnp.ndarray,
         - cs[7],
         1e30)
     e = eref_db - etest_db
-    b = jnp.where(eref_db > etest_db, 4.0, 6.0)
-    pc = 1.0 - 0.5 ** ((e / s) ** b)
+    # (e/s)^b with b in {4, 6}: explicit even powers instead of a generic
+    # pow — a data-dependent float exponent lowers to exp(b*log(x)), which
+    # is both slower and ill-defined for the negative bases that occur
+    # whenever the test is louder (the C reference's pow handles them via
+    # the integral-exponent path, src/movs.c:1240)
+    t = e / s
+    t2 = t * t
+    t4 = t2 * t2
+    tb = jnp.where(eref_db > etest_db, t4, t4 * t2)
+    pc = 1.0 - 0.5 ** tb
     int_e = jnp.floor(e) if use_floor else jnp.trunc(e)
     qc = jnp.abs(int_e) / s
     p_band = jnp.max(pc, axis=-3)     # max over channels -> [..., Z, F]
