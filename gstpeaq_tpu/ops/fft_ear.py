@@ -357,7 +357,9 @@ def spread(k: FFTEarConsts, pitch_power: jnp.ndarray,
         w = jnp.where(expo > 0, jnp.exp(expo * log_a), 0.0)
         chunks.append(jnp.sum(ene_w * w, axis=-2))        # [..., <=block]
     e2 = e2 + jnp.concatenate(chunks, axis=-1)
-    return e2 ** 2.5 / k.spread_norm
+    # e2^2.5 as e2^2 * sqrt(e2): the generic pow lowers to exp(2.5*log x)
+    # (two transcendentals); square + rsqrt-free sqrt is cheaper on the VPU
+    return (e2 * e2) * jnp.sqrt(e2) / k.spread_norm
 
 
 def stateless(k: FFTEarConsts, frames: jnp.ndarray):
