@@ -78,7 +78,8 @@ def _fb_masking_dummy(k, e0, n_frames, state=None, return_state=False):
 DUMMIES = {
     "ehs": (MOVS, "ehs",
             lambda w_r, w_t, t0, t1, s, d, ehs_mats=None,
-            delta_weighted=None: (
+            delta_weighted=None, ehs_mask=None, ehs_dmat=None,
+            precision=None, ehs_zero=None: (
         jnp.zeros(w_r.shape[:-1], w_r.dtype),        # ehs_val [.., CH, F]
         jnp.ones(w_r.shape[-2:-1], bool))),          # valid [F]
     "prob_detect": (MOVS, "prob_detect", lambda er, et, fl: (
@@ -86,13 +87,14 @@ DUMMIES = {
         jnp.mean(er - et, axis=(-3, -2)))),
     "nmr": (MOVS, "nmr", lambda g, m, wr, wt, re, delta_weighted=None: (
         jnp.mean(wr - wt, axis=-1), jnp.mean(wr - wt, axis=-1))),
-    "bandwidth": (MOVS, "bandwidth", lambda r, t: (
+    "bandwidth": (MOVS, "bandwidth", lambda r, t, bin_idx=None: (
         jnp.mean(r, -1), jnp.mean(t, -1),
         jnp.ones(r.shape[:-1], bool))),
-    "modulation": (modulation, "modulation", lambda a, u, step: (
-        u * 0.5, u * 0.3, None)),
-    "level_adapt": (level_adapt, "level_adapt",
-                    lambda a, m, re, te: (re, te, None)),
+    # the batch pipelines run level-adapter stage 1 + the modulation
+    # smoothers through ONE fused call (level_adapt_fused_mod)
+    "adapt_mod": (level_adapt, "level_adapt_fused_mod",
+                  lambda a, m, exc2, uns2, step: (
+                      exc2[0], exc2[1], uns2 * 0.5, uns2 * 0.3)),
     "time_smear": (FE, "time_smear",
                    lambda k, u, axis=0, state=None: u * 1.001),
     "spread": (FE, "spread", lambda k, pp, block=16: pp * 1.0001),
@@ -147,8 +149,7 @@ def main():
     else:
         names = [n for n in DUMMIES
                  if DUMMY_MODE.get(n, "basic") == args.mode
-                 or n in ("ehs", "nmr", "modulation", "level_adapt",
-                          "noise_loud")]
+                 or n in ("ehs", "nmr", "adapt_mod", "noise_loud")]
     for name in names:
         mod, attr, dummy = DUMMIES[name]
         orig = getattr(mod, attr)
