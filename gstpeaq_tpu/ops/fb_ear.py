@@ -393,15 +393,17 @@ def _conv_group_outputs(k: FBEarConsts, blocks, front: int, ti: int):
     """The three window-split group convs on the raw [n, m0, 128] block
     stream.  Group g's taps live in absolute blocks [lo, hi) of the
     12-front-padded stream; the front zeros are supplied as conv spatial
-    padding (or sliced off when the history splice already contains them),
-    so no data pad pass ever runs.  Yields [n, >=ti, 8|G|] arrays whose
-    row t is output instant group t (phases on channels)."""
+    padding (negative low padding skips leading history blocks a group
+    does not read), so no data pad OR slice pass ever runs — all three
+    convs consume the IDENTICAL operand, so XLA materializes the
+    conv-friendly {H, N, C} operand layout once instead of per group
+    (~0.8 ms/iter of data formatting at advanced mb16).  Yields
+    [n, >=ti, 8|G|] arrays whose row t is output instant group t (phases
+    on channels)."""
     for (lo, hi), kern in zip(k.group_blocks, k.h_group_kernels):
         shift = lo - front
-        src = blocks[:, shift:] if shift > 0 else blocks
-        pl = -shift if shift < 0 else 0
         yield jax.lax.conv_general_dilated(
-            src, kern, window_strides=(1,), padding=((pl, hi - lo),),
+            blocks, kern, window_strides=(1,), padding=((-shift, hi - lo),),
             dimension_numbers=("NHC", "HIO", "NHC"),
             preferred_element_type=blocks.dtype,
             precision=k.conv_precision)
