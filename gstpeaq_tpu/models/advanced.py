@@ -57,6 +57,8 @@ def unified_input(pipe, n_fft: int, n_fb: int):
     t_fb = n_fb * C.FB_FRAMESIZE
 
     def wrapped(consts, sig_pair, valid_fft=None, valid_fb=None):
+        # PCM16-shipped inputs convert on device (framing.dequantize)
+        sig_pair = framing.dequantize(sig_pair)
         if sig_pair.ndim == 4:          # blocked [2, CH, Tb, 128]
             assert t_fb % 128 == 0
             flat = sig_pair.reshape(*sig_pair.shape[:-2], -1)

@@ -70,6 +70,9 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         # the data-boundary gate then rides the lane-shift sliding-max
         # instead of a flat sample-rate pass + concat)
         k, avg_matrix = consts
+        # PCM16-shipped inputs convert on device (framing.dequantize)
+        ref_sig = framing.dequantize(ref_sig)
+        test_sig = framing.dequantize(test_sig)
         if ref_sig.ndim == 3:            # blocked [CH, Tb, 128]
             n_frames = ref_sig.shape[-2] * 128 // C.FFT_STEPSIZE - 1
             above = framing.fft_gate_from_max5(

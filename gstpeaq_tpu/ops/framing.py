@@ -14,6 +14,19 @@ import numpy as np
 from .. import constants as C
 
 
+def dequantize(sig: jnp.ndarray) -> jnp.ndarray:
+    """PCM16-shipped signals -> float32 on DEVICE, matching the host WAV
+    convention exactly (utils/wavio.read_wav, native/peaqio.c: x / 32768,
+    a power of two, so the device conversion is bit-identical to
+    converting on the host).  Shipping int16 halves host->device bytes
+    for file-sourced sweeps — the transfer path, not the device, bounds
+    end-to-end sweep throughput (STATUS.md "End-to-end input pipeline").
+    Float inputs pass through unchanged."""
+    if jnp.issubdtype(sig.dtype, jnp.integer):
+        return sig.astype(jnp.float32) * np.float32(1.0 / 32768.0)
+    return sig
+
+
 def num_frames(n_ref: int, n_test: int, frame_size: int, step_size: int) -> int:
     """Frame count under GstAdapter semantics: full frames while both
     signals have one, plus one zero-padded flush frame if either has

@@ -54,6 +54,16 @@ def _jitted_advanced_batch(playback_level: float, settings: C.Settings,
     return lambda *args: jfn(consts, *args)
 
 
+def _ship_dtype(refs, tests):
+    """int16 when EVERY source is int16 (PCM16 ships raw and dequantizes
+    on device — framing.dequantize — halving transfer bytes), else
+    float32."""
+    if all(s.dtype == np.int16 for s in refs) and \
+            all(s.dtype == np.int16 for s in tests):
+        return np.int16
+    return np.float32
+
+
 def _pad_pairwise(refs, tests, n_bucket, frame_size, step_size):
     """Truncate each pair at its *own* flush-frame boundary (audio past the
     flush frame is dropped by the reference, src/gstpeaq.c:715-745), then
@@ -66,8 +76,9 @@ def _pad_pairwise(refs, tests, n_bucket, frame_size, step_size):
     length = framing.padded_length(n_bucket, frame_size, step_size)
     ch = refs[0].shape[1]
     b = len(refs)
-    out_r = np.zeros((b, ch, length), dtype=np.float32)
-    out_t = np.zeros((b, ch, length), dtype=np.float32)
+    dt = _ship_dtype(refs, tests)
+    out_r = np.zeros((b, ch, length), dtype=dt)
+    out_t = np.zeros((b, ch, length), dtype=dt)
     valids = np.empty((b,), dtype=np.int32)
     for i, (r, t) in enumerate(zip(refs, tests)):
         n_own = framing.num_frames(r.shape[0], t.shape[0], frame_size,
@@ -125,7 +136,7 @@ def prepare_chunk(refs, tests, buckets):
     t_max = max(t_fft, t_fb)
     ch = refs[0].shape[1]
     b = len(refs)
-    out = np.zeros((b, 2, ch, t_max), dtype=np.float32)
+    out = np.zeros((b, 2, ch, t_max), dtype=_ship_dtype(refs, tests))
     valid_fft = np.empty((b,), dtype=np.int32)
     valid_fb = np.empty((b,), dtype=np.int32)
     for i, (r, t) in enumerate(zip(refs, tests)):
@@ -175,8 +186,12 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
     import jax
     from .. import api
     api.enable_compile_cache()
-    refs = [api._as_2d_f32(r) for r in refs]
-    tests = [api._as_2d_f32(t) for t in tests]
+    # int16 sources stay int16 end to end (PCM16 ship path: dequantized
+    # on device, see framing.dequantize) — half the transfer bytes
+    as2d = lambda x: (x if x.ndim == 2 else x[:, None]) \
+        if getattr(x, "dtype", None) == np.int16 else api._as_2d_f32(x)
+    refs = [as2d(r) for r in refs]
+    tests = [as2d(t) for t in tests]
     dtype = dtype or api.default_dtype()
     buckets = compute_buckets(refs, tests, advanced, granularity)
     if advanced:
@@ -202,7 +217,8 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
 
     t_fft = framing.padded_length(buckets[0], C.FFT_FRAMESIZE,
                                   C.FFT_STEPSIZE)
-    bytes_per_pair = 4.0 * 2 * refs[0].shape[1] * (
+    bytes_per_pair = float(_ship_dtype(refs, tests)().itemsize) \
+        * 2 * refs[0].shape[1] * (
         max(t_fft, buckets[1] * C.FB_FRAMESIZE) if advanced else t_fft)
     prefetch = (-(-n // mb) * mb) * bytes_per_pair <= prefetch_gb * 1e9
 

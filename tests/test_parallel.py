@@ -25,6 +25,23 @@ def test_batch_equals_single(pairs):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("advanced", [False, True])
+def test_pcm16_ship_equals_float(pairs, advanced):
+    """int16-shipped inputs (device-side dequantize, framing.dequantize)
+    give BIT-IDENTICAL results to float inputs when the sources are
+    int16-representable: the 1/32768 scale is a power of two."""
+    q = [(np.clip(np.round(r * 32768.0), -32768, 32767),
+          np.clip(np.round(t * 32768.0), -32768, 32767)) for r, t in pairs]
+    fl = [(np.float32(r / 32768.0), np.float32(t / 32768.0)) for r, t in q]
+    i16 = [(r.astype(np.int16), t.astype(np.int16)) for r, t in q]
+    kw = dict(advanced=advanced, granularity=8, microbatch=8)
+    out_f = B.peaq_batch([p[0] for p in fl], [p[1] for p in fl], **kw)
+    out_i = B.peaq_batch([p[0] for p in i16], [p[1] for p in i16], **kw)
+    np.testing.assert_array_equal(out_i["odg"], out_f["odg"])
+    np.testing.assert_array_equal(out_i["movs"], out_f["movs"])
+
+
+@pytest.mark.slow
 def test_sharded_equals_batch(pairs):
     import jax
     assert len(jax.devices()) == 8  # virtual CPU mesh from conftest

@@ -42,6 +42,11 @@ def main() -> int:
                         help="run N synthetic pairs instead of a manifest")
     parser.add_argument("--out", default=None)
     parser.add_argument("--microbatch", type=int, default=32)
+    parser.add_argument("--pcm16", action="store_true",
+                        help="ship inputs as raw int16 PCM and dequantize "
+                        "on device (framing.dequantize): halves "
+                        "host->device transfer bytes; exact for "
+                        "PCM16-sourced audio")
     parser.add_argument("--prefetch-gb", type=float, default=6.0,
                         help="stage all input chunks on device before the "
                         "first dispatch when they fit this budget (the "
@@ -67,6 +72,12 @@ def main() -> int:
         names = [t for _, t in pairs]
         refs = [native.load_audio_48k(r) for r, _ in pairs]
         tests = [native.load_audio_48k(t) for _, t in pairs]
+
+    if args.pcm16:
+        q = lambda x: np.clip(np.round(np.asarray(x, np.float64) * 32768.0),
+                              -32768, 32767).astype(np.int16)
+        refs = [q(r) for r in refs]
+        tests = [q(t) for t in tests]
 
     t0 = time.time()
     out = B.peaq_batch(refs, tests, advanced=args.advanced,
