@@ -54,6 +54,16 @@ def _jitted_advanced_batch(playback_level: float, settings: C.Settings,
     return lambda *args: jfn(consts, *args)
 
 
+def as_2d_ship(x):
+    """[T]/[T, C] -> [T, C], keeping int16 sources int16 (the PCM16 ship
+    path: raw transfer + device-side framing.dequantize — half the
+    host->device bytes); everything else converts to float32."""
+    if getattr(x, "dtype", None) == np.int16:
+        return x if x.ndim == 2 else x[:, None]
+    from .. import api
+    return api._as_2d_f32(x)
+
+
 def _ship_dtype(refs, tests):
     """int16 when EVERY source is int16 (PCM16 ships raw and dequantizes
     on device — framing.dequantize — halving transfer bytes), else
@@ -186,12 +196,8 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
     import jax
     from .. import api
     api.enable_compile_cache()
-    # int16 sources stay int16 end to end (PCM16 ship path: dequantized
-    # on device, see framing.dequantize) — half the transfer bytes
-    as2d = lambda x: (x if x.ndim == 2 else x[:, None]) \
-        if getattr(x, "dtype", None) == np.int16 else api._as_2d_f32(x)
-    refs = [as2d(r) for r in refs]
-    tests = [as2d(t) for t in tests]
+    refs = [as_2d_ship(r) for r in refs]
+    tests = [as_2d_ship(t) for t in tests]
     dtype = dtype or api.default_dtype()
     buckets = compute_buckets(refs, tests, advanced, granularity)
     if advanced:

@@ -86,8 +86,8 @@ def peaq_sharded(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
     from . import batch as B
     mesh = mesh if mesh is not None else default_mesh()
     n_dev = mesh.devices.size
-    refs = [api._as_2d_f32(r) for r in refs]
-    tests = [api._as_2d_f32(t) for t in tests]
+    refs = [B.as_2d_ship(r) for r in refs]
+    tests = [B.as_2d_ship(t) for t in tests]
     n = len(refs)
     pad = (-n) % n_dev
     if pad:
