@@ -87,3 +87,15 @@ def load_audio_48k(path: str) -> np.ndarray:
     if got < 0:
         raise IOError(f"peaq_resample_48k failed: {got}")
     return out[:got]
+
+
+def load_audio_48k_ship(path: str) -> np.ndarray:
+    """Sweep-loader variant preferring the raw PCM16 ship form: 48 kHz
+    16-bit PCM files return int16 [T, C] untouched (zero host conversion;
+    the device dequantizes — framing.dequantize); anything else falls back
+    to the float32 decode+resample path."""
+    from . import wavio
+    raw = wavio.read_wav_pcm16_48k(path)
+    if raw is not None:
+        return raw
+    return load_audio_48k(path)

@@ -70,6 +70,42 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     return x.reshape(-1, channels), rate
 
 
+def read_wav_pcm16_48k(path: str) -> np.ndarray | None:
+    """Raw int16 [T, C] when `path` is a 48 kHz 16-bit PCM WAV, else None.
+
+    The PCM16 ship path (parallel/batch, framing.dequantize) transfers
+    these bytes to the device untouched — no host float conversion, half
+    the transfer volume, bit-identical results (the 1/32768 scale is a
+    power of two)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    payload = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = body
+        elif chunk_id == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or payload is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    (audio_format, channels, rate, _, block_align,
+     bits) = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format == WAVE_FORMAT_EXTENSIBLE:
+        audio_format = struct.unpack_from("<H", fmt, 24)[0]
+    if audio_format != WAVE_FORMAT_PCM or bits != 16 or rate != 48000:
+        return None
+    n = len(payload) // block_align
+    x = np.frombuffer(payload[:n * block_align], dtype="<i2")
+    return x.reshape(-1, channels)
+
+
 def resample_to_48k(x: np.ndarray, rate: int) -> np.ndarray:
     """Polyphase resample [T, C] float32 to 48 kHz."""
     if rate == 48000:

@@ -44,6 +44,32 @@ def test_wav_pcm16(tmp_path):
         y[:, 0], x.astype(np.float64) / 32768.0, atol=1e-7)
 
 
+def test_wav_pcm16_raw_ship(tmp_path):
+    """read_wav_pcm16_48k returns the untouched int16 payload for 48 kHz
+    PCM16 files (the device dequantizes, framing.dequantize) and None for
+    anything else; load_audio_48k_ship falls back to float for the rest."""
+    import struct
+
+    from gstpeaq_tpu.utils import native
+    rng = np.random.default_rng(7)
+    x = rng.integers(-32768, 32768, size=(4800, 2)).astype("<i2")
+    payload = x.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 48000, 192000, 4, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    path = tmp_path / "i16.wav"
+    path.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+    raw = wavio.read_wav_pcm16_48k(str(path))
+    np.testing.assert_array_equal(raw, x)
+    assert raw.dtype == np.int16
+    ship = native.load_audio_48k_ship(str(path))
+    np.testing.assert_array_equal(ship, x)
+    fpath = tmp_path / "f.wav"
+    wavio.write_wav(str(fpath), TS.sine(4800)[:, None], 48000)
+    assert wavio.read_wav_pcm16_48k(str(fpath)) is None
+    assert native.load_audio_48k_ship(str(fpath)).dtype == np.float32
+
+
 def test_resample_identity():
     x = TS.sine(4800)[:, None]
     assert wavio.resample_to_48k(x, 48000) is x

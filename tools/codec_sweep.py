@@ -70,12 +70,17 @@ def main() -> int:
             parser.error("need MANIFEST or --demo N")
         pairs = load_manifest(args.manifest)
         names = [t for _, t in pairs]
-        refs = [native.load_audio_48k(r) for r, _ in pairs]
-        tests = [native.load_audio_48k(t) for _, t in pairs]
+        load = (native.load_audio_48k_ship if args.pcm16
+                else native.load_audio_48k)
+        refs = [load(r) for r, _ in pairs]
+        tests = [load(t) for _, t in pairs]
 
     if args.pcm16:
-        q = lambda x: np.clip(np.round(np.asarray(x, np.float64) * 32768.0),
-                              -32768, 32767).astype(np.int16)
+        # float-sourced pairs (demo / non-PCM16 files) quantize here;
+        # raw PCM16 loads are already int16 and pass through untouched
+        q = lambda x: x if x.dtype == np.int16 else np.clip(
+            np.round(np.asarray(x, np.float64) * 32768.0),
+            -32768, 32767).astype(np.int16)
         refs = [q(r) for r in refs]
         tests = [q(t) for t in tests]
 
