@@ -194,9 +194,9 @@ def make_pipeline(playback_level: float = 92.0,
         mod_ref, mod_test = mod2[0], mod2[1]
         avg_loud_ref = avg_loud2[0]
 
-        loud_ref = FB.loudness(kb, ref_e, axis=-2)   # [CH,F]
-        loud_test = FB.loudness(kb, test_e, axis=-2)
-        loud_ok = jnp.any((loud_ref > 0.1) & (loud_test > 0.1), axis=-2)
+        # ONE stacked loudness call over exc2 (bit-identical per slice)
+        loud2 = FB.loudness(kb, exc2, axis=-2)       # [2,CH,F]
+        loud_ok = jnp.any((loud2[0] > 0.1) & (loud2[1] > 0.1), axis=-2)
         any_loud = jnp.any(loud_ok)
         f_idx = jnp.arange(n_fb)
         loud_frame = jnp.argmax(loud_ok)

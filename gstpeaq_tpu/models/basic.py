@@ -120,10 +120,10 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         mod_ref, mod_test = mod2[0], mod2[1]
         avg_loud_ref = avg_loud2[0]
 
-        # loudness gate; src/gstpeaq.c:841-845,880-886
-        loud_ref = FE.loudness(k, ref_e, axis=-2)   # [CH,F]
-        loud_test = FE.loudness(k, test_e, axis=-2)
-        loud_ok = jnp.any((loud_ref > 0.1) & (loud_test > 0.1), axis=-2)
+        # loudness gate; src/gstpeaq.c:841-845,880-886 — ONE stacked call
+        # over the [2, CH, Z, F] excitation pair (bit-identical per slice)
+        loud2 = FE.loudness(k, exc, axis=-2)        # [2,CH,F]
+        loud_ok = jnp.any((loud2[0] > 0.1) & (loud2[1] > 0.1), axis=-2)
         any_loud = jnp.any(loud_ok)
         f_idx = jnp.arange(loud_ok.shape[-1])
         loud_frame = jnp.argmax(loud_ok)       # first frame where reached
