@@ -16,6 +16,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# tri-state like fb_ear.USE_PALLAS_DC: None = auto (float32 stateless
+# calls on TPU), True/False = force (A/B measurement)
+USE_PALLAS = None
+
+
 def _combine(left, right):
     a1, b1 = left
     a2, b2 = right
@@ -55,6 +60,19 @@ def linear_recurrence_banded(a: jnp.ndarray, b: jnp.ndarray, axis: int = 0,
     y0: [..., Z] initial state (b's shape without `axis`).
     """
     dtype = b.dtype
+    use_pallas = USE_PALLAS
+    if use_pallas is None:
+        use_pallas = (y0 is None and dtype == jnp.float32
+                      and jax.default_backend() == "tpu")
+    if use_pallas and y0 is None and dtype == jnp.float32:
+        # single-pass VMEM kernel (ops/pallas_iir): the Toeplitz pipeline
+        # below makes ~5 HBM passes over the drive array
+        from . import pallas_iir
+        return jnp.moveaxis(
+            pallas_iir.recurrence_banded(
+                jnp.asarray(a, dtype), jnp.moveaxis(b, axis, -1),
+                interpret=jax.default_backend() != "tpu"),
+            -1, axis)
     b2 = jnp.moveaxis(b, axis, -1)              # [..., Z, T]
     shape = b2.shape
     t = shape[-1]

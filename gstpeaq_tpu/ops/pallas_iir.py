@@ -1,0 +1,99 @@
+"""Pallas TPU kernel for the banded first-order recurrences.
+
+Drop-in fast path for iir.linear_recurrence_banded (y_t = a_z y_{t-1} +
+b_t along the last axis, per-band coefficients): one VMEM-resident pass
+per [Z, F] slice computing the scan by log2(F) lane-shift doubling steps
+
+    y <- y + a_z^(2^e) * shift(y, 2^e)
+
+instead of the XLA blocked-Toeplitz pipeline, which makes ~5 HBM passes
+over the drive array (materialize b, read it into the [Z, L, L] prefix
+einsum, write prefixes, read prefixes + write y).  Here b is read once
+and y written once — the recurrences are HBM-bound, so the pass count is
+the cost.  FLOPs: ~3 ops x log2(F) levels per element on the VPU
+(~33/elem at F = 2560) vs the Toeplitz form's L = 128 MACs/elem on the
+MXU; both are far from their compute roofline, only traffic matters.
+
+Numerics: the doubling scan REASSOCIATES the weighted sum
+sum_s a^(t-s) b_s (error ~eps per level; coefficients in (0, 1) keep the
+terms bounded), and the a^(2^e) step factors are exp(2^e log a) — the
+same in-graph f32 construction as the Toeplitz tables.  The
+blocked-Toeplitz XLA form remains the reference and the CPU /
+wide-dtype / streaming path, same policy as ops/pallas_dc.
+
+Used by iir.linear_recurrence_banded for float32 stateless (y0 = None)
+calls on TPU — the batch pipelines' level-adapter, modulation, and
+forward-masking smoothers.  Reference semantics: src/leveladapter.c:
+262-332, src/modpatt.c:233-250, src/fbearmodel.c:388-395.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(n_steps: int, f: int):
+    def kernel(b_ref, steps_ref, out_ref):
+        y = b_ref[...]                                  # [bm, Z, F]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, f), 2)
+        for e in range(n_steps):
+            sh = 1 << e
+            rolled = pltpu.roll(y, sh, axis=2)
+            y = y + steps_ref[:, e:e + 1] * jnp.where(lane >= sh, rolled,
+                                                      0.0)
+        out_ref[...] = y
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def recurrence_banded(a: jnp.ndarray, b: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    """y_t = a_z y_{t-1} + b_t along the LAST axis, y_{-1} = 0.
+
+    a: [Z] float in (0, 1); b: [..., Z, F] float32.  Returns y with b's
+    shape and dtype.
+    """
+    shape = b.shape
+    z = shape[-2]
+    f = shape[-1]
+    n_steps = max(1, int(np.ceil(np.log2(max(f, 2)))))
+    # a^(2^e) step factors, padded to a full lane tile.  exp underflows
+    # to 0.0 for deep powers — harmless (the far terms are dead anyway).
+    log_a = jnp.log(a.astype(jnp.float32))[:, None]     # [Z, 1]
+    pw = jnp.asarray(
+        np.pad(2.0 ** np.arange(n_steps), (0, max(128 - n_steps, 0)))[None],
+        jnp.float32)                                    # [1, >=128]
+    steps = jnp.exp(log_a * pw)
+    b3 = b.reshape(-1, z, f)
+    m = b3.shape[0]
+    # whole-row [bm, Z, F] tiles: the scan never crosses a tile boundary.
+    # ~3 live f32 arrays per grid step; keep bm * Z * F under ~2M elements.
+    bm = next((c for c in (8, 4, 2, 1) if m % c == 0 and c * z * f <= 2**21),
+              1)
+    grid = (m // bm,)
+    blk = pl.BlockSpec((bm, z, f), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_kernel(n_steps, f),
+        out_shape=jax.ShapeDtypeStruct((m, z, f), jnp.float32),
+        grid=grid,
+        in_specs=[blk,
+                  pl.BlockSpec((z, steps.shape[1]), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=blk,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n_steps * z * f * m,
+            bytes_accessed=2 * 4 * z * f * m,
+            transcendentals=0),
+    )(b3.astype(jnp.float32), steps)
+    return out.reshape(shape).astype(b.dtype)

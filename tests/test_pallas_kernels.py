@@ -90,3 +90,43 @@ def test_process_signal_pallas_dc_path(monkeypatch):
     ref_u = np.asarray(uns_ref)
     got_u = np.asarray(uns_got)
     assert np.abs(got_u - ref_u).max() / (np.abs(ref_u).max()) < 2e-3
+
+
+def test_pallas_iir_matches_toeplitz(monkeypatch):
+    """The lane-shift doubling recurrence kernel (ops/pallas_iir, forced +
+    interpret on CPU) agrees with the blocked-Toeplitz reference at
+    f32-reordering level, including via the iir dispatcher."""
+    from gstpeaq_tpu.ops import iir, pallas_iir
+    rng = np.random.default_rng(11)
+    for m, z, f in [(6, 40, 2560), (4, 55, 512), (2, 40, 60)]:
+        a = jnp.asarray(np.exp(-rng.uniform(0.01, 3.0, z)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((m, z, f)), jnp.float32)
+        ref = np.asarray(iir.linear_recurrence_banded(a, b, axis=-1))
+        got = np.asarray(pallas_iir.recurrence_banded(a, b, interpret=True))
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+        monkeypatch.setattr(iir, "USE_PALLAS", True)
+        via = np.asarray(iir.linear_recurrence_banded(a, b, axis=-1))
+        monkeypatch.setattr(iir, "USE_PALLAS", None)
+        assert np.abs(via - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_pipelines_with_pallas_iir(monkeypatch):
+    """Both pipelines stay within f32-reordering tolerance of their
+    Toeplitz-recurrence form when the Pallas recurrence kernel is forced
+    (interpret on CPU)."""
+    from gstpeaq_tpu import api
+    from gstpeaq_tpu.ops import iir
+    from gstpeaq_tpu.utils import testsignals as TS
+    n = 40 * 1024
+    ref, test = TS.saw(n), TS.triangle(n)
+    base = [api.peaq(ref, test, advanced=a, dtype="float32").odg
+            for a in (False, True)]
+    monkeypatch.setattr(iir, "USE_PALLAS", True)
+    api._jitted_basic.cache_clear()
+    api._jitted_advanced.cache_clear()
+    got = [api.peaq(ref, test, advanced=a, dtype="float32").odg
+           for a in (False, True)]
+    api._jitted_basic.cache_clear()
+    api._jitted_advanced.cache_clear()
+    for b, g in zip(base, got):
+        assert abs(float(b) - float(g)) < 2e-3, (b, g)
