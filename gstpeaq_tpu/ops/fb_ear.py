@@ -622,7 +622,10 @@ def _spread_fused(k: FBEarConsts, hp2: jnp.ndarray, hp2_hist, cu_state):
     c1_band = 24.0 + 230.0 / k.fc
     c0, c1, c2, c3 = pallas_fb.slope_prefixes_from_conv(
         outs[0], outs[1], outs[2], c1_band, a, n_inst, interpret=interp)
-    z = iir.linear_recurrence_blocked(a ** 4, c3, y0=cu0)
+    # banded form (a broadcast per band) so the f32 TPU path takes the
+    # single-pass Pallas recurrence kernel (ops/pallas_iir)
+    z = iir.linear_recurrence_banded(
+        jnp.full((k.band_count,), a ** 4, c3.dtype), c3, axis=-1, y0=cu0)
     zprev = jnp.concatenate([cu0[..., None], z[..., :-1]], axis=-1)
     cu_p = (a * zprev + c0, a * a * zprev + c1,
             a ** 3 * zprev + c2, z)              # each [n, Z, ti]

@@ -62,15 +62,15 @@ def linear_recurrence_banded(a: jnp.ndarray, b: jnp.ndarray, axis: int = 0,
     dtype = b.dtype
     use_pallas = USE_PALLAS
     if use_pallas is None:
-        use_pallas = (y0 is None and dtype == jnp.float32
+        use_pallas = (dtype == jnp.float32
                       and jax.default_backend() == "tpu")
-    if use_pallas and y0 is None and dtype == jnp.float32:
+    if use_pallas and dtype == jnp.float32:
         # single-pass VMEM kernel (ops/pallas_iir): the Toeplitz pipeline
         # below makes ~5 HBM passes over the drive array
         from . import pallas_iir
         return jnp.moveaxis(
             pallas_iir.recurrence_banded(
-                jnp.asarray(a, dtype), jnp.moveaxis(b, axis, -1),
+                jnp.asarray(a, dtype), jnp.moveaxis(b, axis, -1), y0=y0,
                 interpret=jax.default_backend() != "tpu"),
             -1, axis)
     b2 = jnp.moveaxis(b, axis, -1)              # [..., Z, T]

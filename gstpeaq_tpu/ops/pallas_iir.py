@@ -38,10 +38,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(n_steps: int, f: int):
-    def kernel(b_ref, steps_ref, out_ref):
+def _make_kernel(n_steps: int, f: int, has_y0: bool):
+    def kernel(b_ref, steps_ref, *rest):
         y = b_ref[...]                                  # [bm, Z, F]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, f), 2)
+        if has_y0:
+            # y_{-1} = y0 folds into the drive exactly: b'[0] = b[0] + a y0
+            # (steps column 0 is a^1)
+            y0_ref, out_ref = rest
+            y = y + jnp.where(lane == 0,
+                              steps_ref[:, 0:1] * y0_ref[...], 0.0)
+        else:
+            (out_ref,) = rest
         for e in range(n_steps):
             sh = 1 << e
             rolled = pltpu.roll(y, sh, axis=2)
@@ -52,12 +60,13 @@ def _make_kernel(n_steps: int, f: int):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def recurrence_banded(a: jnp.ndarray, b: jnp.ndarray,
+def recurrence_banded(a: jnp.ndarray, b: jnp.ndarray, y0=None,
                       interpret: bool = False) -> jnp.ndarray:
-    """y_t = a_z y_{t-1} + b_t along the LAST axis, y_{-1} = 0.
+    """y_t = a_z y_{t-1} + b_t along the LAST axis, y_{-1} = y0 (or 0).
 
-    a: [Z] float in (0, 1); b: [..., Z, F] float32.  Returns y with b's
-    shape and dtype.
+    a: [Z] float in (0, 1); b: [..., Z, F] float32; y0: [..., Z]
+    broadcastable against b's shape without the last axis.  Returns y
+    with b's shape and dtype.
     """
     shape = b.shape
     z = shape[-2]
@@ -79,13 +88,21 @@ def recurrence_banded(a: jnp.ndarray, b: jnp.ndarray,
     grid = (m // bm,)
     blk = pl.BlockSpec((bm, z, f), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
+    in_specs = [blk,
+                pl.BlockSpec((z, steps.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [b3.astype(jnp.float32), steps]
+    if y0 is not None:
+        y0b = jnp.broadcast_to(jnp.asarray(y0, jnp.float32),
+                               shape[:-1]).reshape(m, z, 1)
+        in_specs.append(pl.BlockSpec((bm, z, 1), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(y0b)
     out = pl.pallas_call(
-        _make_kernel(n_steps, f),
+        _make_kernel(n_steps, f, y0 is not None),
         out_shape=jax.ShapeDtypeStruct((m, z, f), jnp.float32),
         grid=grid,
-        in_specs=[blk,
-                  pl.BlockSpec((z, steps.shape[1]), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=blk,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -95,5 +112,5 @@ def recurrence_banded(a: jnp.ndarray, b: jnp.ndarray,
             flops=3 * n_steps * z * f * m,
             bytes_accessed=2 * 4 * z * f * m,
             transcendentals=0),
-    )(b3.astype(jnp.float32), steps)
+    )(*operands)
     return out.reshape(shape).astype(b.dtype)
