@@ -102,15 +102,28 @@ def level_adapt_fused_mod(a: jnp.ndarray, avg_matrix: jnp.ndarray,
     exc2/uns2: [2(sig), ..., Z, F].  Returns
     (adapted_ref, adapted_test, mod2, avg_loud2)."""
     from ..constants import SAMPLING_RATE
-    a_col = a[:, None]
-    loud = uns2 ** 0.3
-    prev = jnp.concatenate(
-        [jnp.zeros_like(loud[..., :1]), loud[..., :-1]], axis=-1)
-    deriv = (SAMPLING_RATE / step_size) * jnp.abs(loud - prev)
-    drives = (1.0 - a_col) * jnp.stack([exc2, deriv, loud])
-    filt = iir.linear_recurrence_banded(a, drives, axis=-1)
-    exc_filt, filt_deriv, filt_loud = filt[0], filt[1], filt[2]
-    mod2 = filt_deriv / (1.0 + filt_loud / 0.3)
+    scale = SAMPLING_RATE / step_size
+    use_pallas = iir.USE_PALLAS
+    if use_pallas is None:
+        use_pallas = (uns2.dtype == jnp.float32
+                      and jax.default_backend() == "tpu")
+    if use_pallas and uns2.dtype == jnp.float32:
+        # whole drive construction in-kernel (ops/pallas_iir): the XLA
+        # form materializes the stacked [3, 2, ..] drive tensor
+        from ..ops import pallas_iir
+        exc_filt, mod2, filt_loud = pallas_iir.fused_mod_smoothers(
+            a, exc2, uns2, float(scale),
+            interpret=jax.default_backend() != "tpu")
+    else:
+        a_col = a[:, None]
+        loud = uns2 ** 0.3
+        prev = jnp.concatenate(
+            [jnp.zeros_like(loud[..., :1]), loud[..., :-1]], axis=-1)
+        deriv = scale * jnp.abs(loud - prev)
+        drives = (1.0 - a_col) * jnp.stack([exc2, deriv, loud])
+        filt = iir.linear_recurrence_banded(a, drives, axis=-1)
+        exc_filt, filt_deriv, filt_loud = filt[0], filt[1], filt[2]
+        mod2 = filt_deriv / (1.0 + filt_loud / 0.3)
     adapted_ref, adapted_test, _ = adapt_stage2(
         a, avg_matrix, exc2[0], exc2[1], exc_filt[0], exc_filt[1])
     return adapted_ref, adapted_test, mod2, filt_loud

@@ -130,3 +130,24 @@ def test_pipelines_with_pallas_iir(monkeypatch):
     api._jitted_advanced.cache_clear()
     for b, g in zip(base, got):
         assert abs(float(b) - float(g)) < 2e-3, (b, g)
+
+
+def test_fused_mod_smoothers_matches_xla(monkeypatch):
+    """fused_mod_smoothers (drive construction in-kernel) agrees with the
+    stack+Toeplitz XLA form at f32-reordering level."""
+    from gstpeaq_tpu.models import level_adapt as LA
+    from gstpeaq_tpu.ops import iir
+    rng = np.random.default_rng(5)
+    z, f = 40, 960
+    a = jnp.asarray(np.exp(-192.0 / (48000 * np.linspace(0.03, 0.05, z))),
+                    jnp.float32)
+    exc2 = jnp.asarray(rng.uniform(0.01, 10.0, (2, 3, 2, z, f)), jnp.float32)
+    uns2 = jnp.asarray(rng.uniform(0.01, 10.0, (2, 3, 2, z, f)), jnp.float32)
+    avg = jnp.asarray(LA.sliding_average_matrix(z), jnp.float32)
+    monkeypatch.setattr(iir, "USE_PALLAS", False)
+    base = LA.level_adapt_fused_mod(a, avg, exc2, uns2, 192)
+    monkeypatch.setattr(iir, "USE_PALLAS", True)
+    got = LA.level_adapt_fused_mod(a, avg, exc2, uns2, 192)
+    for x, y in zip(base, got):
+        x, y = np.asarray(x), np.asarray(y)
+        assert np.abs(x - y).max() / np.abs(x).max() < 1e-5
