@@ -332,6 +332,20 @@ def spread(k: FFTEarConsts, pitch_power: jnp.ndarray,
     Z = k.band_count
     dz = k.delta_z
     dtype = pitch_power.dtype
+    from .iir import USE_PALLAS
+    use_pallas = USE_PALLAS
+    if use_pallas is None:
+        use_pallas = (dtype == jnp.float32
+                      and jax.default_backend() == "tpu")
+    if use_pallas and dtype == jnp.float32:
+        # shift-multiply VMEM kernel (ops/pallas_spread_fft): the exp-form
+        # block loop below materializes Z^2/block weight slabs and ~6
+        # transcendentals per (source, dest) cell
+        from . import pallas_spread_fft
+        return pallas_spread_fft.spread_fft(
+            pitch_power, k.a_uc_log, k.g_il, k.lower_matrix,
+            k.spread_norm, 0.2 * dz,
+            interpret=jax.default_backend() != "tpu")
     a_uce = k.a_uc * pitch_power ** (0.2 * dz)
     n_up = Z - jnp.arange(Z, dtype=dtype)
     g_iu = (1.0 - a_uce ** n_up) / (1.0 - a_uce)

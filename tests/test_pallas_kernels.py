@@ -151,3 +151,22 @@ def test_fused_mod_smoothers_matches_xla(monkeypatch):
     for x, y in zip(base, got):
         x, y = np.asarray(x), np.asarray(y)
         assert np.abs(x - y).max() / np.abs(x).max() < 1e-5
+
+
+def test_fft_spread_kernel_matches_xla():
+    """The FFT-ear shift-multiply spread kernel (ops/pallas_spread_fft,
+    interpret on CPU) matches the exp-form XLA spread at f32-reordering
+    level, for both band counts."""
+    from gstpeaq_tpu.ops import fft_ear as FE
+    from gstpeaq_tpu.ops import pallas_spread_fft as PSF
+    rng = np.random.default_rng(4)
+    for bc in (109, 55):
+        k = FE.build_consts(EP.fft_ear_params(bc), dtype=jnp.float32)
+        pp = jnp.asarray(rng.uniform(1e-6, 1e4, (2, 2, 37, bc)), jnp.float32)
+        base = np.asarray(FE.spread(k, pp))
+        got = np.asarray(PSF.spread_fft(
+            pp, k.a_uc_log, k.g_il, k.lower_matrix, k.spread_norm,
+            0.2 * float(np.asarray(k.delta_z)), interpret=True))
+        assert np.abs(base - got).max() / np.abs(base).max() < 1e-5
+        rel = np.abs(base - got) / np.maximum(np.abs(base), 1e-30)
+        assert rel.max() < 1e-4
