@@ -16,8 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-# tri-state like fb_ear.USE_PALLAS_DC: None = auto (float32 stateless
-# calls on TPU), True/False = force (A/B measurement)
+# tri-state like fb_ear.USE_PALLAS_DC: None = auto (float32 banded calls
+# on TPU; also gates the FFT-ear spread kernel), True/False = force
+# (A/B measurement)
 USE_PALLAS = None
 
 

@@ -21,9 +21,10 @@ same in-graph f32 construction as the Toeplitz tables.  The
 blocked-Toeplitz XLA form remains the reference and the CPU /
 wide-dtype / streaming path, same policy as ops/pallas_dc.
 
-Used by iir.linear_recurrence_banded for float32 stateless (y0 = None)
-calls on TPU — the batch pipelines' level-adapter, modulation, and
-forward-masking smoothers.  Reference semantics: src/leveladapter.c:
+Used by iir.linear_recurrence_banded for float32 calls on TPU — the
+batch pipelines' level-adapter, modulation, forward-masking, and slope
+smoothers (y_{-1} = y0 folds into the first drive lane exactly, so
+stateful calls qualify too).  Reference semantics: src/leveladapter.c:
 262-332, src/modpatt.c:233-250, src/fbearmodel.c:388-395.
 """
 
