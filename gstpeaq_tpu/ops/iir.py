@@ -17,9 +17,13 @@ import numpy as np
 
 
 # tri-state like fb_ear.USE_PALLAS_DC: None = auto (float32 banded calls
-# on TPU; also gates the FFT-ear spread kernel), True/False = force
-# (A/B measurement)
-USE_PALLAS = None
+# on TPU; also gates the FFT-ear spread kernel), True/False = force.
+# GSTPEAQ_PALLAS_IIR=0/1 overrides from the environment (A/B + kill
+# switch for Mosaic lowering regressions).
+import os as _os
+
+USE_PALLAS = {"1": True, "0": False}.get(
+    _os.environ.get("GSTPEAQ_PALLAS_IIR", ""), None)
 
 
 def _combine(left, right):
