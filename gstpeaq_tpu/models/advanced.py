@@ -128,10 +128,11 @@ def make_pipeline(playback_level: float = 92.0,
         _, _, committed_fft = accum.activity(above_fft)
 
         power, unsmeared, thresh, delta_p = FE.stateless_pair_hop(
-            kf, rblocks, tblocks)
-        # only the REF smeared excitation is consumed (NMR masking); smear
-        # it alone in the transposed layout and hand nmr the [CH, F, Z] view
-        ref_u_t = jnp.swapaxes(unsmeared[0], -1, -2)      # [CH, Z, F]
+            kf, rblocks, tblocks, spread_ref_only=True)
+        # only the REF excitation is consumed (NMR masking): grouping and
+        # spreading run on the ref alone (spread_ref_only), and the smear
+        # runs in the transposed layout
+        ref_u_t = jnp.swapaxes(unsmeared, -1, -2)         # [CH, Z, F]
         ref_exc = jnp.swapaxes(FE.time_smear(kf, ref_u_t, axis=-1), -1, -2)
         hi = kf.group_bin_hi
         fmv = lambda x: jnp.swapaxes(x, -1, -2)   # [CH,F] -> accum [F,CH]

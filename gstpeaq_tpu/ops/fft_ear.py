@@ -425,7 +425,8 @@ def _spec_ri_hop(k: FFTEarConsts, blocks: jnp.ndarray) -> jnp.ndarray:
 
 
 def stateless_pair_hop(k: FFTEarConsts, ref_blocks: jnp.ndarray,
-                       test_blocks: jnp.ndarray):
+                       test_blocks: jnp.ndarray,
+                       spread_ref_only: bool = False):
     """stateless() for a ref/test PAIR of hop-sized blocks
     [..., F + 1, CH, 1024] (frame f = blocks[f] | blocks[f+1]) with an
     accurately-cancelled NMR noise difference — at the cost of exactly the
@@ -484,7 +485,13 @@ def stateless_pair_hop(k: FFTEarConsts, ref_blocks: jnp.ndarray,
         delta_power = (d_ri[..., :hi] * s_ri[..., :hi]
                        + d_ri[..., bins:bins + hi]
                        * s_ri[..., bins:bins + hi]) * k.level_factor
-    band_power = group_into_bands(k, power).astype(bdtype)
+    # spread_ref_only: the advanced path consumes ONLY the ref unsmeared
+    # excitation (NMR masks against ref; no FFT-path level adapter) — the
+    # test signal's grouping + spreading are dead, but they live inside
+    # stacked ops XLA will not split, so skip them explicitly.  Returned
+    # unsmeared is then [..., CH, F, Z] (no signal axis).
+    gp = power[0] if spread_ref_only else power
+    band_power = group_into_bands(k, gp).astype(bdtype)
     unsmeared = spread(k, band_power + k.internal_noise)
     energy = jnp.sum(jnp.stack([ref, test])[..., 1:, :] ** 2, axis=-1)
     threshold_reached = energy >= C.EHS_ENERGY_THRESHOLD
