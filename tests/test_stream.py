@@ -123,3 +123,20 @@ def test_stream_tentative_trailing_silence():
         np.concatenate([sa, np.zeros(16 * 1024, np.float32)]),
         np.concatenate([tr, np.zeros(16 * 1024, np.float32)]))
     assert abs(r1.odg - want.odg) < 1e-9
+
+
+def test_stream_f32_with_pallas_kernels(monkeypatch):
+    """Chunked streaming with the Pallas recurrence/spread kernels forced
+    (interpret on CPU) matches whole-signal processing — exercises the
+    y0 drive-fold across chunk boundaries end to end."""
+    from gstpeaq_tpu.ops import iir
+    monkeypatch.setattr(iir, "USE_PALLAS", True)
+    api._jitted_basic.cache_clear()
+    n = 60 * 1024
+    sa, tr = TS.saw(n), TS.triangle(n)
+    want = api.peaq(sa, tr, dtype="float32")
+    s = PeaqStream(channels=1, chunk_frames=16, dtype="float32")
+    s.feed(sa, tr)
+    res = s.finalize()
+    api._jitted_basic.cache_clear()
+    assert abs(res.odg - want.odg) < 5e-4, (res.odg, want.odg)
