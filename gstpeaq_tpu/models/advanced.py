@@ -78,7 +78,7 @@ def unified_input(pipe, n_fft: int, n_fb: int):
 def make_pipeline(playback_level: float = 92.0,
                   settings: C.Settings = C.DEFAULT_SETTINGS,
                   dtype=jnp.float64, spectrum_dtype=None,
-                  fft_spectra: bool = False):
+                  fft_spectra: bool = False, accurate: bool = False):
     """Build the jittable advanced pipeline closure.
 
     Returns fn(ref_fft, test_fft, fb_pair), channel-major:
@@ -95,11 +95,13 @@ def make_pipeline(playback_level: float = 92.0,
     # basic-only), so the rDFT GEMM skips the top ~25% of columns
     kf0 = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype,
                           truncate_spectrum=True,
-                          use_dft_gemm=False if fft_spectra else None)
+                          use_dft_gemm=False if fft_spectra else None,
+                          accurate=accurate)
     fb_params = EP.fb_ear_params(playback_level)
     kb0 = FB.build_consts(
         fb_params, dtype=dtype, spectrum_dtype=sdtype,
-        swap_slope=settings.swap_slope_filter_coefficients)
+        swap_slope=settings.swap_slope_filter_coefficients,
+        accurate=accurate)
     avg_matrix0 = jnp.asarray(
         level_adapt.sliding_average_matrix(C.FB_BAND_COUNT), dtype=dtype)
     consts = (kf0, kb0, avg_matrix0)

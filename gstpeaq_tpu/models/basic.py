@@ -44,7 +44,7 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
                   playback_level: float = 92.0,
                   settings: C.Settings = C.DEFAULT_SETTINGS,
                   dtype=jnp.float64, spectrum_dtype=None,
-                  fft_spectra: bool = False):
+                  fft_spectra: bool = False, accurate: bool = False):
     """Build the jittable basic pipeline closure.
 
     `dtype` = band-domain compute type; `spectrum_dtype` = bin-domain type
@@ -55,7 +55,8 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
     sdtype = spectrum_dtype or dtype
     params = EP.fft_ear_params(band_count, playback_level)
     k0 = FE.build_consts(params, dtype=dtype, spectrum_dtype=sdtype,
-                         use_dft_gemm=False if fft_spectra else None)
+                         use_dft_gemm=False if fft_spectra else None,
+                         accurate=accurate)
     avg_matrix0 = jnp.asarray(
         level_adapt.sliding_average_matrix(band_count), dtype=dtype)
     consts = (k0, avg_matrix0)

@@ -98,7 +98,8 @@ jax.tree_util.register_pytree_node(
 
 
 def build_consts(params: EP.FBEarParams, dtype=jnp.float64,
-                 spectrum_dtype=None, swap_slope: bool = False) -> FBEarConsts:
+                 spectrum_dtype=None, swap_slope: bool = False,
+                 accurate: bool = False) -> FBEarConsts:
     """`dtype` = band-domain type (spreading, masking, 40-band arrays);
     `spectrum_dtype` = sample-domain type (DC filter, FIR bank conv).
     `swap_slope` = SWAP_SLOPE_FILTER_COEFFICIENTS (settings.h:97): swap the
@@ -154,9 +155,9 @@ def build_consts(params: EP.FBEarParams, dtype=jnp.float64,
         group_blocks=tuple(group_blocks),
         # band-domain f32 = the throughput tier: bf16x3 conv (~1e-5 rel err)
         # is invisible under its band-chain-dominated ODG noise; wider band
-        # domains keep the full-precision conv (the <=1e-3-ODG tier).
+        # domains and the accurate tier keep the full-precision conv.
         conv_precision=(jax.lax.Precision.HIGH
-                        if jnp.dtype(dtype) == jnp.float32
+                        if jnp.dtype(dtype) == jnp.float32 and not accurate
                         else jax.lax.Precision.HIGHEST),
         back_mask=f(params.back_mask),
         back_mask_w=f(_back_mask_blocks(params.back_mask)),

@@ -102,7 +102,8 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
                  use_dft_gemm: bool | None = None,
                  spectrum_dtype=None,
                  truncate_spectrum: bool = False,
-                 use_ct_dft: bool | None = None) -> FFTEarConsts:
+                 use_ct_dft: bool | None = None,
+                 accurate: bool = False) -> FFTEarConsts:
     """`dtype` is the band-domain compute type (Z-length arrays: spreading,
     smearing, adaptation, modulation, MOVs); `spectrum_dtype` the bin-domain
     type (frames, DFT, 1025-bin spectra).  Mixed f64/f32 gives near-f64 MOV
@@ -211,9 +212,10 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
     # band-domain f32 = the throughput tier: its ODG noise is dominated by
     # the band chain (docs/precision.md), so the spectrum GEMM can run at
     # bf16x3 (HIGH, ~1.3e-5 rel err) for 2x MXU throughput.  Wider band
-    # domains keep the full-precision GEMM.
+    # domains — and the accurate tier (`accurate`: CT GEMMs at the
+    # factorization's eps*sqrt(256) floor) — keep the full-precision GEMM.
     precision = (jax.lax.Precision.HIGH
-                 if jnp.dtype(dtype) == jnp.float32
+                 if jnp.dtype(dtype) == jnp.float32 and not accurate
                  else jax.lax.Precision.HIGHEST)
     return FFTEarConsts(
         hann=fs(params.hann_window),
