@@ -87,13 +87,22 @@ def resolve_dtypes(name: str):
                former f64-band-chain mixed tier, and strictly more
                accurate on codec-grade items (which are limited by the
                shared spectra, not the band chain).
-    Use use_fft_spectra(name) to pick the spectrum path for a tier.
+    "accurate" candidate middle tier: CT-factored DFT GEMMs (ops/ct_dft)
+               with EVERY GEMM at HIGHEST precision + the f32 band chain.
+               Spectrum rounding sits at the factorization's eps*sqrt(256)
+               floor — a few times the FFT tier's eps*sqrt(log N) but ~6x
+               below the throughput tier's HIGH (bf16x3) GEMMs — while the
+               spectra keep riding the MXU instead of the ~4x-slower VPU
+               FFT path.  Measured on corpus v2 (CPU proxy, f32 GEMM
+               accumulation ~ TPU HIGHEST): see docs/precision.md.
+    Use use_fft_spectra(name) / use_accurate(name) to pick a tier's
+    spectrum path and GEMM precision.
     """
     import jax
     import jax.numpy as jnp
     if name == "float64":
         jax.config.update("jax_enable_x64", True)
-    if name == "mixed":
+    if name in ("mixed", "accurate"):
         return jnp.float32, jnp.float32
     d = jnp.dtype(name)
     return d, d
@@ -103,6 +112,12 @@ def use_fft_spectra(name: str) -> bool:
     """Whether a precision tier computes spectra with the VPU FFT instead
     of the DFT GEMM (see resolve_dtypes)."""
     return name == "mixed"
+
+
+def use_accurate(name: str) -> bool:
+    """Whether a precision tier pins EVERY front-end GEMM (rDFT/CT, FB
+    conv, EHS) to HIGHEST precision (see resolve_dtypes)."""
+    return name == "accurate"
 
 
 def _pad_bucketed(sig: np.ndarray, n_own: int, n_bucket: int,
@@ -126,7 +141,8 @@ def _jitted_basic(n_frames: int, channels: int, playback_level: float,
     dtype, sdtype = resolve_dtypes(dtype_name)
     pipe, consts = basic.make_pipeline(band_count, playback_level,
                                        settings, dtype, sdtype,
-                                       fft_spectra=use_fft_spectra(dtype_name))
+                                       fft_spectra=use_fft_spectra(dtype_name),
+                                       accurate=use_accurate(dtype_name))
     jfn = jax.jit(pipe)
     return lambda *args: jfn(consts, *args)
 
@@ -140,7 +156,8 @@ def _jitted_advanced(n_fft_frames: int, n_fb_frames: int, channels: int,
     dtype, sdtype = resolve_dtypes(dtype_name)
     pipe, consts = advanced.make_pipeline(
         playback_level, settings, dtype, sdtype,
-        fft_spectra=use_fft_spectra(dtype_name))
+        fft_spectra=use_fft_spectra(dtype_name),
+        accurate=use_accurate(dtype_name))
     jfn = jax.jit(advanced.unified_input(pipe, n_fft_frames, n_fb_frames))
     return lambda *args: jfn(consts, *args)
 

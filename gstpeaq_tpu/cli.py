@@ -47,7 +47,7 @@ def main(argv=None) -> int:
                         help="also print the model output variables")
     parser.add_argument("--playback-level", type=float, default=92.0)
     parser.add_argument("--precision",
-                        choices=["float32", "float64", "mixed"],
+                        choices=["float32", "float64", "mixed", "accurate"],
                         default=None, help="compute precision (default: "
                         "float64 on CPU, float32 on TPU)")
     parser.add_argument("--totalsnr", action="store_true",

@@ -32,7 +32,8 @@ def _jitted_basic_batch(playback_level: float, settings: C.Settings,
     dtype, sdtype = api.resolve_dtypes(dtype_name)
     pipe, consts = basic.make_pipeline(
         C.BASIC_BAND_COUNT, playback_level, settings, dtype, sdtype,
-        fft_spectra=api.use_fft_spectra(dtype_name))
+        fft_spectra=api.use_fft_spectra(dtype_name),
+        accurate=api.use_accurate(dtype_name))
     jfn = jax.jit(jax.vmap(pipe, in_axes=(None, 0, 0, 0)))
     return lambda *args: jfn(consts, *args)
 
@@ -48,7 +49,8 @@ def _jitted_advanced_batch(playback_level: float, settings: C.Settings,
     dtype, sdtype = api.resolve_dtypes(dtype_name)
     pipe, consts = advanced.make_pipeline(
         playback_level, settings, dtype, sdtype,
-        fft_spectra=api.use_fft_spectra(dtype_name))
+        fft_spectra=api.use_fft_spectra(dtype_name),
+        accurate=api.use_accurate(dtype_name))
     upipe = advanced.unified_input(pipe, n_fft, n_fb)
     jfn = jax.jit(jax.vmap(upipe, in_axes=(None, 0, 0, 0)))
     return lambda *args: jfn(consts, *args)

@@ -48,14 +48,16 @@ def _jitted_sharded(advanced: bool, playback_level: float,
         from ..models import advanced as mod
         pipe, consts = mod.make_pipeline(
             playback_level, settings, dtype, sdtype,
-            fft_spectra=api.use_fft_spectra(dtype_name))
+            fft_spectra=api.use_fft_spectra(dtype_name),
+            accurate=api.use_accurate(dtype_name))
         pipe = mod.unified_input(pipe, buckets[0], buckets[1])
         in_axes = (None, 0, 0, 0)
     else:
         from ..models import basic as mod
         pipe, consts = mod.make_pipeline(
             C.BASIC_BAND_COUNT, playback_level, settings, dtype, sdtype,
-            fft_spectra=api.use_fft_spectra(dtype_name))
+            fft_spectra=api.use_fft_spectra(dtype_name),
+            accurate=api.use_accurate(dtype_name))
         in_axes = (None, 0, 0, 0)
     batched = jax.vmap(pipe, in_axes=in_axes)
     data_sharding = NamedSharding(mesh, P(PAIR_AXIS))

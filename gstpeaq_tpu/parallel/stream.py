@@ -59,7 +59,8 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
     fft_spectra = api.use_fft_spectra(dtype_name)
     params = EP.fft_ear_params(C.BASIC_BAND_COUNT, playback_level)
     k0 = FE.build_consts(params, dtype=dtype, spectrum_dtype=sdtype,
-                         use_dft_gemm=False if fft_spectra else None)
+                         use_dft_gemm=False if fft_spectra else None,
+                         accurate=api.use_accurate(dtype_name))
     avg_matrix0 = jnp.asarray(
         level_adapt.sliding_average_matrix(C.BASIC_BAND_COUNT), dtype=dtype)
     consts = (k0, avg_matrix0)
@@ -302,11 +303,13 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
     fft_spectra = api.use_fft_spectra(dtype_name)
     kf0 = FE.build_consts(fft_params, dtype=dtype, spectrum_dtype=sdtype,
                           truncate_spectrum=True,
-                          use_dft_gemm=False if fft_spectra else None)
+                          use_dft_gemm=False if fft_spectra else None,
+                          accurate=api.use_accurate(dtype_name))
     fb_params = EP.fb_ear_params(playback_level)
     kb0 = FB.build_consts(
         fb_params, dtype=dtype, spectrum_dtype=sdtype,
-        swap_slope=settings.swap_slope_filter_coefficients)
+        swap_slope=settings.swap_slope_filter_coefficients,
+        accurate=api.use_accurate(dtype_name))
     avg_matrix0 = jnp.asarray(
         level_adapt.sliding_average_matrix(C.FB_BAND_COUNT), dtype=dtype)
     consts = (kf0, kb0, avg_matrix0)

@@ -163,6 +163,21 @@ def test_advanced_unified_input_poisoned_tail():
     assert abs(got.odg - want.odg) < 1e-9
 
 
+def test_accurate_tier_runs_both_modes():
+    """The "accurate" precision tier (CT DFT-GEMM spectra with every
+    front-end GEMM pinned to HIGHEST, api.use_accurate) must build and
+    agree with the float32 tier on CPU — where precision hints are no-ops,
+    the two tiers trace to the same arithmetic, so this is a pure wiring
+    test (the TPU accuracy claim is measured by tools/tpu_drift.py)."""
+    n = 30 * 1024
+    ref, test = TS.saw(n), TS.triangle(n)
+    for adv in (False, True):
+        a = api.peaq(ref, test, advanced=adv, dtype="accurate")
+        f = api.peaq(ref, test, advanced=adv, dtype="float32")
+        assert np.isfinite(a.odg)
+        assert abs(a.odg - f.odg) < 1e-6, (adv, a.odg, f.odg)
+
+
 def test_stereo_channel_averaging():
     n = 30 * 1024
     sa, tr = TS.saw(n), TS.triangle(n)

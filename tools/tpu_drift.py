@@ -175,10 +175,17 @@ def realistic_pairs(n, seconds, seed=3):
     return refs, tests
 
 
-def _run_tier(dtype, advanced, fft, pairs, seconds, front_precision=None):
+def _run_tier(dtype, advanced, fft, pairs, seconds, front_precision=None,
+              cpu=False):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if cpu and dtype != "float64":
+        # CPU proxy for a TPU tier (tunnel down / no chip): CPU f32 GEMMs
+        # accumulate in true f32 ~ TPU HIGHEST, so this is a faithful
+        # proxy for the "accurate"/"mixed" tiers but OPTIMISTIC for the
+        # HIGH-precision (bf16x3) GEMMs of the float32 tier
+        jax.config.update("jax_platforms", "cpu")
     if dtype == "float64":
         # must run before any backend use; a clean subprocess guarantees it
         jax.config.update("jax_platforms", "cpu")
@@ -211,9 +218,12 @@ def _run_tier(dtype, advanced, fft, pairs, seconds, front_precision=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="float32",
-                    choices=["float32", "mixed", "float64"])
+                    choices=["float32", "mixed", "accurate", "float64"])
     ap.add_argument("--fft", action="store_true",
                     help="force the VPU FFT instead of the DFT GEMM")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the tier on CPU (proxy when no TPU: f32 "
+                    "GEMM accumulation ~ TPU HIGHEST precision)")
     ap.add_argument("--advanced", action="store_true")
     ap.add_argument("--front-precision", default=None,
                     choices=["default", "high", "highest"],
@@ -230,8 +240,8 @@ def main():
 
     t0 = time.time()
     out = _run_tier(args.dtype, args.advanced, args.fft, args.pairs,
-                    args.seconds, args.front_precision)
-    print(f"{args.dtype}{' fft' if args.fft else ''}"
+                    args.seconds, args.front_precision, cpu=args.cpu)
+    print(f"{args.dtype}{' fft' if args.fft else ''}{' cpu' if args.cpu else ''}"
           f"{' front=' + args.front_precision if args.front_precision else ''}"
           f" "
           f"({time.time() - t0:.0f} s incl compile):",
