@@ -141,6 +141,14 @@ def main() -> None:
          dict(advanced=False, batch=batch, seconds=seconds,
               dtype="mixed" if on_tpu else "float64", iters=2,
               microbatch=8)),
+        # CT-at-HIGHEST candidate tier (docs/precision.md): accuracy ==
+        # mixed on the CPU proxy, spectra stay on the MXU — expected to
+        # replace the VPU-FFT record above if the on-chip drift check
+        # (tools/tpu_drift.py --dtype accurate) agrees
+        (f"audio-seconds/sec/chip (basic PEAQ, CT-HIGHEST tier, batch {batch})",
+         dict(advanced=False, batch=batch, seconds=seconds,
+              dtype="accurate" if on_tpu else "float64", iters=4,
+              microbatch=32)),
     ]:
         try:
             rate = bench(**kwargs)
