@@ -50,23 +50,39 @@ TILE_CONV = 1536
 
 def _shift_multiply_e0(fbr, fbi, cu, low):
     """Upper spreading by 39 shift-multiply steps + in-kernel lower-matrix
-    MXU dot + |A|^2.  All inputs [Z, TI] (VMEM values), low [Z, Z]."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (Z, 1), 0)
-    not_row0 = row >= 1
+    MXU dot + |A|^2.  All inputs [Z, TI] (VMEM values), low [Z, Z].
+
+    Row-shrink: after step e the weight stream's rows < e are structurally
+    zero (w_e[j] = fb[j-e] cu[j-e]^e) and acc rows < 8k stop changing once
+    e >= 8k, so every 8 steps the top sublane block retires and the whole
+    chain shrinks [40,T]->[32,T]->...->[8,T] — 119 vreg-steps instead of
+    195 for the same (bit-identical) arithmetic: the dropped ops were all
+    x+0 / 0*y.  The circular roll's wrap row stays masked via the rcu
+    row-0 zero, whose propagation is unaffected by dropping zero rows."""
     acc_r = fbr
     acc_i = fbi
     w_r = fbr
     w_i = fbi
     rcu = cu
-    for _ in range(Z - 1):
+    done_r = []
+    done_i = []
+    for e in range(1, Z):
+        if e > 1 and e % 8 == 1:
+            done_r.append(acc_r[:8])
+            done_i.append(acc_i[:8])
+            acc_r, acc_i = acc_r[8:], acc_i[8:]
+            w_r, w_i, rcu = w_r[8:], w_i[8:], rcu[8:]
+        row = jax.lax.broadcasted_iota(jnp.int32, (w_r.shape[0], 1), 0)
         # mask the wrap row ONCE on the rolled coefficient (zeroing rcu's
         # row 0 zeroes both weight streams) instead of once per stream —
         # one VPU op per step instead of two across the 39-step chain
-        rcu = jnp.where(not_row0, pltpu.roll(rcu, 1, axis=0), 0.0)
+        rcu = jnp.where(row >= 1, pltpu.roll(rcu, 1, axis=0), 0.0)
         w_r = pltpu.roll(w_r, 1, axis=0) * rcu
         w_i = pltpu.roll(w_i, 1, axis=0) * rcu
         acc_r = acc_r + w_r
         acc_i = acc_i + w_i
+    acc_r = jnp.concatenate(done_r + [acc_r], axis=0)
+    acc_i = jnp.concatenate(done_i + [acc_i], axis=0)
     # explicit HIGHEST: preferred_element_type sets only the OUTPUT dtype;
     # without precision= the MXU dot runs bfloat16 (2^-8), and the
     # modulation-derivative amplifier turned that into an 18% RmsModDiffA
