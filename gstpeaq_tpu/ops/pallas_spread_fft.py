@@ -33,8 +33,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _make_kernel(z: int):
     def kernel(p_ref, cons_ref, low_ref, out_ref):
-        row = jax.lax.broadcasted_iota(jnp.int32, (1, z, 1), 1)
-        not_row0 = row >= 1
         ln_auc = cons_ref[0][:, 0:1]            # [Z, 1]
         n_up = cons_ref[1][:, 0:1]
         g_il = cons_ref[2][:, 0:1]
@@ -47,12 +45,25 @@ def _make_kernel(z: int):
         g_iu = (1.0 - jnp.exp(n_up * ln_auce)) / (1.0 - a_uce)
         ene = jnp.exp(0.4 * (lnp - jnp.log(g_il + g_iu - 1.0)))
         rb = jnp.exp(0.4 * ln_auce)             # upper base aUCEe [bm,Z,F]
+        # Row-shrink (same trick as pallas_fb._shift_multiply_e0): after
+        # step e the weight's band rows < e are structurally zero and up's
+        # rows < 8k stop changing once e >= 8k, so every 8 steps the top
+        # sublane block retires and the chain shrinks [Z,F]->[Z-8,F]->…
+        # Bit-identical: the dropped ops were all x+0 / 0*y, and the roll
+        # wrap row stays masked via rb's row-0 zero.
         up = jnp.zeros_like(ene)
         w = ene
-        for _ in range(z - 1):
-            rb = jnp.where(not_row0, pltpu.roll(rb, 1, axis=1), 0.0)
+        done = []
+        for e in range(1, z):
+            if e > 1 and e % 8 == 1:
+                done.append(up[:, :8])
+                up, w, rb = up[:, 8:], w[:, 8:], rb[:, 8:]
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (1, w.shape[1], 1), 1)
+            rb = jnp.where(row >= 1, pltpu.roll(rb, 1, axis=1), 0.0)
             w = pltpu.roll(w, 1, axis=1) * rb
             up = up + w
+        up = jnp.concatenate(done + [up], axis=1)
         # constant lower part (incl. diagonal): [Z, Z] x [Z, F] MXU dot
         # per bm slice; explicit HIGHEST (the repo's #1 precision rule)
         low = low_ref[...]
