@@ -26,6 +26,7 @@ into lag 0.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -482,12 +483,17 @@ def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
 
 
 # Pallas spread kernel dispatch: None = auto (TPU backend + float32),
-# True/False = force (tests force True with interpret on CPU)
-USE_PALLAS_SPREAD = None
+# True/False = force (tests force True with interpret on CPU).
+# GSTPEAQ_PALLAS_SPREAD=0/1 overrides from the environment (A/B + kill
+# switch for Mosaic lowering regressions, like GSTPEAQ_PALLAS_IIR).
+USE_PALLAS_SPREAD = {"1": True, "0": False}.get(
+    os.environ.get("GSTPEAQ_PALLAS_SPREAD", ""), None)
 
 # Pallas DC-chain kernel dispatch (ops/pallas_dc): None = auto (TPU backend
-# + float32 + whole-signal aligned input), True/False = force
-USE_PALLAS_DC = None
+# + float32 + tile-aligned input), True/False = force.
+# GSTPEAQ_PALLAS_DC=0/1 overrides from the environment.
+USE_PALLAS_DC = {"1": True, "0": False}.get(
+    os.environ.get("GSTPEAQ_PALLAS_DC", ""), None)
 
 
 def spread_t(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
@@ -666,20 +672,24 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
     else:
         t_sig = signal.shape[-1]
         lead_sig = signal.shape[:-1]
-    if (use_dc and state is None and not return_state
-            and t_sig % (128 * 384) == 0):
-        # whole-signal float32 fast path: the entire level-scale -> ff ->
-        # biquad cascade in one VMEM-resident Pallas pass (ops/pallas_dc).
+    if use_dc and t_sig % (128 * 384) == 0:
+        # float32 fast path: the entire level-scale -> ff -> biquad
+        # cascade in one VMEM-resident Pallas pass (ops/pallas_dc), for
+        # whole signals AND streaming chunks (the kernel carries/returns
+        # dc_reject's state tuple, flattened over the lead dims).
         # Blocked input reshapes to the kernel layout by flattening MAJOR
         # dims only (free); flat input pays one retile here.  The flat
         # hp2 view below cancels against _blocks_for_conv's re-block.
         from . import pallas_dc
         x3 = signal.astype(jnp.float32).reshape(-1, t_sig // 128, 128)
-        hp2 = pallas_dc.dc_chain_blocked(
-            x3, k.level_factor,
+        dc_flat = (None if dc_state is None else
+                   tuple(s.reshape(-1, 2) for s in dc_state))
+        hp2, dc_new = pallas_dc.dc_chain_blocked(
+            x3, k.level_factor, state=dc_flat, return_state=True,
             interpret=jax.default_backend() != "tpu")
         hp2 = hp2.reshape(*lead_sig, t_sig)
-        dc_new = None
+        if return_state:
+            dc_new = tuple(s.reshape(*lead_sig, 2) for s in dc_new)
     else:
         if blocked:
             signal = signal.reshape(*lead_sig, t_sig)

@@ -18,7 +18,8 @@ scratch.  Whole-row tiles sidestep the cycle entirely.)
 Per grid step:
 
 * the ff (1 - z^-1)^2 feedforwards are lane shifts with the previous
-  row's last lane patched in (zeros at r = 0: zero initial filter state)
+  row's last lane patched in (row 0 takes the carried chunk state, zeros
+  for a fresh signal)
   — the ff1 -> poles1 -> ff2 -> poles2 INTERLEAVING is numerically
   load-bearing (see fb_ear.dc_reject) and is kept exactly;
 * each first-order recurrence is the same blocked Toeplitz scheme as
@@ -100,31 +101,35 @@ def _tables(m: int):
     return consts, steps, (float(np.real(g)), float(np.imag(g)))
 
 
-def _shift1(x, row_idx):
+def _shift1(x, row_idx, init):
     """Shift right by one sample in the row-major [bb, m, L] layout:
-    out[b, r, 0] = x[b, r-1, L-1] (zero for r = 0: zero initial state)."""
+    out[b, r, 0] = x[b, r-1, L-1]; `init` [bb, 1, 1] supplies row 0
+    (zero for a fresh signal, the previous chunk's sample when
+    streaming)."""
     lastcol = x[:, :, L - 1:L]                       # [bb, m, 1]
     prevrow = pltpu.roll(lastcol, 1, axis=1)
-    col = jnp.where(row_idx == 0, 0.0, prevrow)
+    col = jnp.where(row_idx == 0, init, prevrow)
     return jnp.concatenate([col, x[:, :, :L - 1]], axis=2)
 
 
-def _row_scan(h, steps, sel, row_idx):
-    """Exclusive row-entry states E[r] = sum_{r'<r} a^(r-1-r') h[r'] for
-    a = lam^L, via an inclusive Hillis-Steele doubling over sublanes of
-    the shifted sequence [0, h_0, .., h_{m-2}].  h: [bb, m, 1] (real) —
-    `sel` picks the real/realm factor from `steps`."""
-    hr = jnp.where(row_idx == 0, 0.0, pltpu.roll(h, 1, axis=1))
+def _row_scan(h, steps, sel, row_idx, y0):
+    """Exclusive row-entry states E[r] = a^r y0 + sum_{r'<r} a^(r-1-r')
+    h[r'] for a = lam^L, via an inclusive Hillis-Steele doubling over
+    sublanes of the shifted sequence [y0, h_0, .., h_{m-2}] (seeding row
+    0 with the carried recurrence state y0 [bb, 1, 1] folds the initial
+    condition into the same doubling).  h: [bb, m, 1] (real) — `sel`
+    picks the real/realm factor from `steps`."""
+    hr = jnp.where(row_idx == 0, y0, pltpu.roll(h, 1, axis=1))
     for e, ap, am, _ in steps:
         a = ap if sel == 0 else am
         hr = hr + a * jnp.where(row_idx >= e, pltpu.roll(hr, e, axis=1), 0.0)
     return hr
 
 
-def _row_scan_c(hr_, hi_, steps, row_idx):
+def _row_scan_c(hr_, hi_, steps, row_idx, y0r, y0i):
     """Complex variant of _row_scan (biquad2's conjugate-pair pole)."""
-    hr = jnp.where(row_idx == 0, 0.0, pltpu.roll(hr_, 1, axis=1))
-    hi = jnp.where(row_idx == 0, 0.0, pltpu.roll(hi_, 1, axis=1))
+    hr = jnp.where(row_idx == 0, y0r, pltpu.roll(hr_, 1, axis=1))
+    hi = jnp.where(row_idx == 0, y0i, pltpu.roll(hi_, 1, axis=1))
     for e, _, _, alam in steps:
         ar, ai = alam.real, alam.imag
         rr = jnp.where(row_idx >= e, pltpu.roll(hr, e, axis=1), 0.0)
@@ -143,49 +148,72 @@ def _make_kernel(steps, g, m):
             x, t, (((2,), (0,)), ((), ())), precision=hp,
             preferred_element_type=jnp.float32)
 
-    def kernel(lf_ref, x_ref, toep_p_ref, toep_m_ref, t2r_ref, t2i_ref,
-               pw_p_ref, pw_m_ref, pw2r_ref, pw2i_ref, out_ref):
+    def kernel(lf_ref, x_ref, st_ref, toep_p_ref, toep_m_ref, t2r_ref,
+               t2i_ref, pw_p_ref, pw_m_ref, pw2r_ref, pw2i_ref, out_ref,
+               st_out_ref):
         row_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
+        st = st_ref[...]                             # [bb, 8] carried state
+
+        def sc(i):
+            return st[:, i:i + 1][:, :, None]        # [bb, 1, 1]
 
         xs = x_ref[...] * lf_ref[0]
-        # ff1: v1 = xs - 2 xs[-1] + xs[-2]
-        s1 = _shift1(xs, row_idx)
-        s2 = _shift1(s1, row_idx)
+        # ff1: v1 = xs - 2 xs[-1] + xs[-2] (tails from the carried state)
+        s1 = _shift1(xs, row_idx, sc(1))
+        s2 = _shift1(s1, row_idx, sc(0))
         v1 = xs - 2.0 * s1 + s2
         # biquad1 pole cascade: w = rec(lp, v1); y1 = rec(lm, w)
         pp = dot_t(v1, toep_p_ref[...])
-        ew = _row_scan(pp[:, :, L - 1:L], steps, 0, row_idx)
+        ew = _row_scan(pp[:, :, L - 1:L], steps, 0, row_idx, sc(2))
         w = pp + ew * pw_p_ref[...]
         pm = dot_t(w, toep_m_ref[...])
-        ey = _row_scan(pm[:, :, L - 1:L], steps, 1, row_idx)
+        ey = _row_scan(pm[:, :, L - 1:L], steps, 1, row_idx, sc(3))
         y1 = pm + ey * pw_m_ref[...]
         # ff2
-        t1 = _shift1(y1, row_idx)
-        t2 = _shift1(t1, row_idx)
+        t1 = _shift1(y1, row_idx, sc(5))
+        t2 = _shift1(t1, row_idx, sc(4))
         v2 = y1 - 2.0 * t1 + t2
         # biquad2: one complex conjugate-pair recurrence, y2 = 2 Re(g u)
         p2r = dot_t(v2, t2r_ref[...])
         p2i = dot_t(v2, t2i_ref[...])
         e2r, e2i = _row_scan_c(p2r[:, :, L - 1:L], p2i[:, :, L - 1:L],
-                               steps, row_idx)
+                               steps, row_idx, sc(6), sc(7))
         u_r = p2r + e2r * pw2r_ref[...] - e2i * pw2i_ref[...]
         u_i = p2i + e2r * pw2i_ref[...] + e2i * pw2r_ref[...]
         out_ref[...] = 2.0 * (gr * u_r - gi * u_i)
+        # new state, same packing as fb_ear.dc_reject's streaming tuple:
+        # (x_tail, (w, y1) carries, y1_tail, (Re u, Im u))
+        st_out_ref[...] = jnp.concatenate(
+            [xs[:, m - 1, L - 2:L], w[:, m - 1, L - 1:L],
+             y1[:, m - 1, L - 1:L], y1[:, m - 1, L - 2:L],
+             u_r[:, m - 1, L - 1:L], u_i[:, m - 1, L - 1:L]], axis=1)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def dc_chain_blocked(x3: jnp.ndarray, level_factor, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "return_state"))
+def dc_chain_blocked(x3: jnp.ndarray, level_factor, state=None,
+                     return_state: bool = False, interpret: bool = False):
     """hp2 = dc_reject(level_factor * x) in ONE Pallas pass.
 
     x3: [n, m, 128] float32 blocked sample stream (sample 128 b + l at
     [.., b, l]); level_factor: scalar.  Returns hp2 in the same blocked
-    layout.  Zero initial filter state (whole-signal / first-chunk form
-    only — the streaming path keeps the XLA chain).
+    layout (+ the new filter state when `return_state`).
+
+    `state`/returned state use fb_ear.dc_reject's streaming tuple layout
+    (x_tail, u1, y1_tail, u2), each [n, 2] in the SCALED (level_factor
+    applied) domain — interchangeable with the XLA chain's carries at
+    the kernel's f32-reordering level.  None = zero initial state, which
+    is bit-identical to the stateless form (the seeds flow through the
+    same `where` row-0 selects with value 0).
     """
     n, m, l = x3.shape
     assert l == L and m % 8 == 0, (x3.shape,)
+    if state is None:
+        st = jnp.zeros((n, 8), jnp.float32)
+    else:
+        st = jnp.concatenate([s.reshape(n, 2).astype(jnp.float32)
+                              for s in state], axis=1)
     consts, steps, g = _tables(m)
     # whole-row tiles: keep bb * m modest so ~12 live [bb, m, 128] f32
     # arrays stay well under VMEM
@@ -197,16 +225,21 @@ def dc_chain_blocked(x3: jnp.ndarray, level_factor, interpret: bool = False):
     cblk = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
                                   memory_space=pltpu.VMEM)
     lf = jnp.reshape(jnp.asarray(level_factor, jnp.float32), (1,))
-    return pl.pallas_call(
+    hp2, st_new = pl.pallas_call(
         _make_kernel(steps, g, m),
-        out_shape=jax.ShapeDtypeStruct((n, m, L), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((n, m, L), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 8), jnp.float32)),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   blk,
+                  pl.BlockSpec((b, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
                   cblk((L, L)), cblk((L, L)), cblk((L, L)), cblk((L, L)),
                   cblk((1, 1, L)), cblk((1, 1, L)), cblk((1, 1, L)),
                   cblk((1, 1, L))],
-        out_specs=blk,
+        out_specs=(blk,
+                   pl.BlockSpec((b, 8), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
         interpret=interpret,
         # whole-row tiles exceed the default 16 MB scoped-VMEM budget
         # (~10 live [bb, m, 128] f32 arrays at m = 3840); v5e has 128 MB
@@ -217,6 +250,10 @@ def dc_chain_blocked(x3: jnp.ndarray, level_factor, interpret: bool = False):
             flops=4 * 2 * L * (n * m * L),
             bytes_accessed=2 * 4 * n * m * L,
             transcendentals=0),
-    )(lf, x3, consts["toep_p"], consts["toep_m"], consts["t2r"],
+    )(lf, x3, st, consts["toep_p"], consts["toep_m"], consts["t2r"],
       consts["t2i"], consts["pw_p"], consts["pw_m"], consts["pw2r"],
       consts["pw2i"])
+    if not return_state:
+        return hp2
+    return hp2, (st_new[:, 0:2], st_new[:, 2:4], st_new[:, 4:6],
+                 st_new[:, 6:8])

@@ -36,6 +36,61 @@ def test_dc_chain_kernel_matches_xla():
     assert abs(got.mean()) < 1e-3 * scale
 
 
+def test_dc_chain_kernel_streaming_state():
+    """Chunked dc_chain_blocked with the carried state tuple matches the
+    whole-signal kernel (different block count m => f32-reordering-level
+    agreement), and the state interoperates with the XLA chain's."""
+    rng = np.random.default_rng(13)
+    tc = 49152
+    n = 2
+    x = (rng.standard_normal((n, 2 * tc)) * 2500.0).astype(np.float32)
+    lf = 0.0357
+    x3 = jnp.asarray(x).reshape(n, -1, 128)
+    whole = np.asarray(pallas_dc.dc_chain_blocked(
+        x3, lf, interpret=True)).reshape(n, -1)
+    h1, st = pallas_dc.dc_chain_blocked(
+        x3[:, :tc // 128], lf, return_state=True, interpret=True)
+    h2 = pallas_dc.dc_chain_blocked(
+        x3[:, tc // 128:], lf, state=st, interpret=True)
+    got = np.concatenate([np.asarray(h1).reshape(n, -1),
+                          np.asarray(h2).reshape(n, -1)], axis=1)
+    scale = np.abs(whole).max()
+    assert np.abs(got - whole).max() / scale < 2e-3
+    # interop: XLA chunk-1 state resumes the kernel (and vice versa)
+    xs = jnp.asarray(x, jnp.float32) * lf
+    _, st_xla = FB.dc_reject(xs[:, :tc], None, True)
+    want2 = np.asarray(FB.dc_reject(xs[:, tc:], st_xla, False))
+    h2x = np.asarray(pallas_dc.dc_chain_blocked(
+        x3[:, tc // 128:], lf, state=st_xla, interpret=True)).reshape(n, -1)
+    assert np.abs(h2x - want2).max() / scale < 2e-3
+
+
+def test_process_signal_pallas_dc_streaming(monkeypatch):
+    """process_signal rides the Pallas DC kernel for streaming chunks
+    (state carried through the [n, 2]-flattened tuple) and agrees with
+    the XLA chain across the chunk boundary."""
+    p = EP.fb_ear_params()
+    k = FB.build_consts(p, dtype=jnp.float32)
+    n_frames = 256                      # t = 49152 per chunk
+    t = 192 * n_frames
+    rng = np.random.default_rng(17)
+    x = (rng.standard_normal((2, 2 * t)) * 0.2).astype(np.float32)
+    xj = jnp.asarray(x, jnp.float32)
+
+    monkeypatch.setattr(FB, "USE_PALLAS_DC", False)
+    e1r, u1r, st_r = FB.process_signal(k, xj[:, :t], n_frames,
+                                       return_state=True)
+    e2r, u2r = FB.process_signal(k, xj[:, t:], n_frames, state=st_r)
+
+    monkeypatch.setattr(FB, "USE_PALLAS_DC", True)
+    e1g, u1g, st_g = FB.process_signal(k, xj[:, :t], n_frames,
+                                       return_state=True)
+    e2g, u2g = FB.process_signal(k, xj[:, t:], n_frames, state=st_g)
+    for ref, got in ((e1r, e1g), (u1r, u1g), (e2r, e2g), (u2r, u2g)):
+        ref, got = np.asarray(ref), np.asarray(got)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-3
+
+
 def test_process_signal_fused_spread_path(monkeypatch):
     """The fused Pallas spread path (slope-prefix kernel + conv
     de-interleave + shift-multiply spreading, forced + interpret on CPU)

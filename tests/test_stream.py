@@ -125,6 +125,28 @@ def test_stream_tentative_trailing_silence():
     assert abs(r1.odg - want.odg) < 1e-9
 
 
+@pytest.mark.slow
+def test_stream_advanced_f32_with_pallas_kernels(monkeypatch):
+    """Advanced chunked streaming with ALL Pallas kernels forced
+    (recurrences, fused spread, stateful DC chain; interpret on CPU)
+    matches whole-signal processing.  chunk_frames=16 makes every FB
+    chunk exactly one kernel tile (t = 49152, n_inst = 1536), so the
+    chunk-boundary state carry of each kernel is exercised end to end."""
+    from gstpeaq_tpu.ops import fb_ear, iir
+    monkeypatch.setattr(iir, "USE_PALLAS", True)
+    monkeypatch.setattr(fb_ear, "USE_PALLAS_DC", True)
+    monkeypatch.setattr(fb_ear, "USE_PALLAS_SPREAD", True)
+    api._jitted_advanced.cache_clear()
+    n = 120 * 1024
+    sa, tr = TS.saw(n), TS.triangle(n)
+    want = api.peaq(sa, tr, advanced=True, dtype="float32")
+    s = PeaqStreamAdvanced(channels=1, chunk_frames=16, dtype="float32")
+    s.feed(sa, tr)
+    res = s.finalize()
+    api._jitted_advanced.cache_clear()
+    assert abs(res.odg - want.odg) < 5e-4, (res.odg, want.odg)
+
+
 def test_stream_f32_with_pallas_kernels(monkeypatch):
     """Chunked streaming with the Pallas recurrence/spread kernels forced
     (interpret on CPU) matches whole-signal processing — exercises the
