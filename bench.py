@@ -93,6 +93,31 @@ def bench(advanced: bool, batch: int, seconds: float, dtype: str,
     return iters * batch * seconds / dt
 
 
+def _disable_pallas() -> None:
+    """Force every Pallas kernel off (XLA fallbacks) and drop traced
+    programs so the next bench() retraces with the flags applied."""
+    from gstpeaq_tpu.ops import fb_ear, iir
+    from gstpeaq_tpu.parallel import batch as B
+    iir.USE_PALLAS = False        # recurrences + FFT-ear spread kernel
+    fb_ear.USE_PALLAS_SPREAD = False
+    fb_ear.USE_PALLAS_DC = False
+    B._jitted_basic_batch.cache_clear()
+    B._jitted_advanced_batch.cache_clear()
+
+
+def bench_safe(**kwargs):
+    """bench() with a one-shot fallback: a Mosaic lowering/compile
+    regression in a Pallas kernel must degrade the record (slower XLA
+    paths, note attached), never erase it."""
+    try:
+        return bench(**kwargs), None
+    except Exception as exc:
+        note = f"pallas disabled after {type(exc).__name__}: {exc}"
+        print(f"# {note}", file=sys.stderr)
+        _disable_pallas()
+        return bench(**kwargs), note[:300]
+
+
 def main() -> None:
     import jax
 
@@ -112,18 +137,22 @@ def main() -> None:
 
     # basic: one 64-pair chunk per batch (device compute ~60 ms hides the
     # ~33 ms dispatch floor; smaller chunks leave the device host-bound)
-    basic_rate = bench(False, batch, seconds, dtype, iters=10,
-                       microbatch=64)
+    basic_rate, basic_note = bench_safe(
+        advanced=False, batch=batch, seconds=seconds, dtype=dtype,
+        iters=10, microbatch=64)
     print(f"# device={dev.device_kind} dtype={dtype} batch={batch} "
           f"len={seconds}s", file=sys.stderr)
     print(f"# basic: {basic_rate:.0f} audio-sec/s "
           f"({basic_rate / batch:.0f}x realtime/pair)", file=sys.stderr)
-    headline = json.dumps({
+    headline_rec = {
         "metric": "audio-seconds/sec/chip (basic PEAQ, batch 64)",
         "value": round(basic_rate, 1),
         "unit": "audio-sec/s",
         "vs_baseline": round(basic_rate / 6400.0, 3),
-    })
+    }
+    if basic_note:
+        headline_rec["note"] = basic_note
+    headline = json.dumps(headline_rec)
     # headline JSON first — secondary measurements may hit cold multi-minute
     # compiles and must not delay the reported metric
     print(headline, flush=True)
@@ -151,8 +180,7 @@ def main() -> None:
               microbatch=32)),
     ]:
         try:
-            rate = bench(**kwargs)
-            err = None
+            rate, err = bench_safe(**kwargs)
         except Exception as exc:  # pragma: no cover
             rate, err = 0.0, f"{type(exc).__name__}: {exc}"
         rec = {"metric": metric, "value": round(rate, 1),
