@@ -612,7 +612,15 @@ def _spread_fused(k: FBEarConsts, hp2: jnp.ndarray, hp2_hist, cu_state):
     against static tap weights) LOST ~1.7 ms/iter: with M = Z = 40 the
     HIGHEST-precision dot runs the MXU at ~31% row utilization, costing
     ~4 ms against the ~2.5 ms of XLA unsplit + frame-reduce passes it
-    replaced.  The e0 -> XLA frame-sum form below is the faster one."""
+    replaced.  The e0 -> XLA frame-sum form below is the faster one.
+    Also rejected (analysis): consuming the kernel's PHASE-SPLIT e0 with
+    XLA-side "frame response" matmuls (combined Wb + shifted-Wa weights
+    over the phase-split lane axis) to skip the instant-order unsplit —
+    the [ti, F] weight matrix is banded with ~2 live taps per column, so
+    a dense contraction executes ~40x the algorithmic FLOPs (~80 GFLOP
+    per advanced iter) and carries a [4, ti, F] ~150 MB program
+    constant; the banded structure is only exploitable via exactly the
+    stride-3/2 lane regroup the rewrite tries to avoid."""
     from . import pallas_fb
     interp = jax.default_backend() != "tpu"
     blocks, front, n_inst, ti, lead = _blocks_for_conv(hp2, hp2_hist)
