@@ -71,12 +71,14 @@ def _lowpass(x, cutoff):
 
 
 def realistic_pairs(n, seconds, seed=3):
-    """Drift corpus v2: >=16 distinct item types spanning near-transparent
+    """Drift corpus v2: 20 distinct item types spanning near-transparent
     to severe, including the codec-artifact classes the round-2 corpus
     lacked — MDCT-style quantization noise shaped under a masking proxy,
-    transient/pre-echo content, mid-signal bandwidth switching, and
+    transient/pre-echo content, mid-signal bandwidth switching,
     tonal/harmonic-rich items (the reference's own worst case is the
-    harpsichord item lcodpip, doc/conformance_basic_table.xml:44).
+    harpsichord item lcodpip, doc/conformance_basic_table.xml:44) — plus
+    quiet-tail tentative stress, a true-stereo binaural item, DC +
+    infrasonic rumble, and a mid-band spectral hole (EHS log regime).
     ODGs must cover the whole scale: a saturated corpus under-weights MOV
     drift through the sigmoid (round-1 lesson, docs/precision.md)."""
     rng = np.random.default_rng(seed)
@@ -166,12 +168,49 @@ def realistic_pairs(n, seconds, seed=3):
     # 16: clipping nonlinearity (harmonic distortion, full-band error)
     ref = harm_ref(len(items)) + 1e-5 * rng.standard_normal(ns)
     items.append((ref, np.clip(ref, -0.35, 0.35)))
+    # 17: quiet tail (trailing 40% below the 200/32768 data-boundary
+    # threshold) — exercises the accumulators' tentative/snapshot
+    # machinery (src/movaccum.c:304-354): the committed value must come
+    # from the content prefix in EVERY tier
+    ref = harm_ref(len(items)) + 1e-5 * rng.standard_normal(ns)
+    fade = np.where(t < 0.6 * seconds, 1.0, 0.0)
+    fade = _lowpass(fade, 40.0)                  # click-free ~25 ms ramp
+    qt_ref = ref * fade + 2e-6 * rng.standard_normal(ns)
+    items.append((qt_ref, _stft_quantize(qt_ref, 40.0, rng=rng)))
+    # 18: TRUE STEREO (every other item is dual-mono): different content
+    # and different codec severity per channel — stresses the binaural
+    # ADB/MFPD channel max (src/movs.c:1240-1260) and the channel-
+    # averaged accumulators
+    lch = harm_ref(len(items)) + 1e-5 * rng.standard_normal(ns)
+    rch = 0.8 * tonal() + 0.1 * harm_ref(len(items) + 3) \
+        + 1e-5 * rng.standard_normal(ns)
+    st_ref = np.stack([lch, rch], 1)
+    st_test = np.stack([_stft_quantize(lch, 55.0, rng=rng),
+                        _stft_quantize(rch, 32.0, rng=rng)], 1)
+    items.append((st_ref, st_test))
+    # 19: DC offset + infrasonic rumble (DC-rejection chain stress: the
+    # cascade must kill ~0.02 DC and 5 Hz content before the FIR bank;
+    # f32 near-unit-pole rounding shows up here first)
+    ref = (harm_ref(len(items)) + 0.02 + 0.01 * np.sin(2 * np.pi * 5.0 * t)
+           + 1e-5 * rng.standard_normal(ns))
+    items.append((ref, _stft_quantize(ref, 45.0, rng=rng)))
+    # 20: mid-band spectral hole (codec-REMOVED content, 2-4 kHz): the
+    # EHS log-difference leaves the |d| << r regime — the direct-log
+    # branch of the hybrid (models/movs.py::ehs) is the code under test
+    ref = harm_ref(len(items)) + 2e-5 * rng.standard_normal(ns)
+    spec = np.fft.rfft(ref)
+    fgrid = np.fft.rfftfreq(ns, 1.0 / 48000.0)
+    hole = np.fft.irfft(spec * ~((fgrid >= 2000.0) & (fgrid < 4000.0)), ns)
+    items.append((ref, hole + 2e-5 * rng.standard_normal(ns)))
 
     refs, tests = [], []
     for i in range(n):
         ref, test = items[i % len(items)]
-        refs.append(np.stack([ref, ref], 1).astype(np.float32))
-        tests.append(np.stack([test, test], 1).astype(np.float32))
+        if ref.ndim == 1:
+            ref = np.stack([ref, ref], 1)
+            test = np.stack([test, test], 1)
+        refs.append(ref.astype(np.float32))
+        tests.append(test.astype(np.float32))
     return refs, tests
 
 
@@ -228,7 +267,7 @@ def main():
     ap.add_argument("--front-precision", default=None,
                     choices=["default", "high", "highest"],
                     help="override the rDFT/FB-conv GEMM precision")
-    ap.add_argument("--pairs", type=int, default=16)
+    ap.add_argument("--pairs", type=int, default=20)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--save", default=None,
                     help="(internal) save odg/movs to this .npz and exit")
