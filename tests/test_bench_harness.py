@@ -1,0 +1,48 @@
+"""bench.py harness behavior that must not regress silently.
+
+The driver records the round from bench's stdout JSON; a Pallas Mosaic
+lowering failure on the real chip must degrade that record (XLA
+fallbacks + note), never erase it.  These tests exercise the fallback
+plumbing without a chip.
+"""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+
+
+def test_bench_safe_retries_with_pallas_disabled(monkeypatch):
+    from gstpeaq_tpu.ops import fb_ear, iir
+
+    # pin current flag values so the test's _disable_pallas mutation is
+    # rolled back on teardown (module state leaks into other tests)
+    monkeypatch.setattr(iir, "USE_PALLAS", iir.USE_PALLAS)
+    monkeypatch.setattr(fb_ear, "USE_PALLAS_SPREAD", fb_ear.USE_PALLAS_SPREAD)
+    monkeypatch.setattr(fb_ear, "USE_PALLAS_DC", fb_ear.USE_PALLAS_DC)
+
+    calls = []
+
+    def fake_bench(**kw):
+        calls.append(dict(kw))
+        if len(calls) == 1:
+            raise RuntimeError("Mosaic failed to lower")
+        assert iir.USE_PALLAS is False, "retry must run with kernels off"
+        return 123.0
+
+    monkeypatch.setattr(bench, "bench", fake_bench)
+    rate, note = bench.bench_safe(advanced=False, batch=8)
+    assert rate == 123.0
+    assert "Mosaic failed to lower" in note
+    assert len(calls) == 2 and calls[0] == calls[1]
+    assert fb_ear.USE_PALLAS_SPREAD is False
+    assert fb_ear.USE_PALLAS_DC is False
+
+
+def test_bench_safe_passthrough_on_success(monkeypatch):
+    monkeypatch.setattr(bench, "bench", lambda **kw: 42.0)
+    rate, note = bench.bench_safe(advanced=True)
+    assert rate == 42.0 and note is None
