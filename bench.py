@@ -119,8 +119,13 @@ def bench_safe(**kwargs):
 
 
 def main() -> None:
+    import os
+
     import jax
 
+    if os.environ.get("GSTPEAQ_PLATFORM"):
+        # CPU dry-runs (same hook as the CLI); before first backend use
+        jax.config.update("jax_platforms", os.environ["GSTPEAQ_PLATFORM"])
     # persistent compile cache: the TPU backend's first compile of the big
     # batched program is minutes; warm runs load from disk in seconds
     jax.config.update("jax_compilation_cache_dir",

@@ -54,7 +54,13 @@ def main() -> int:
                         "before the first program execution)")
     args = parser.parse_args()
 
+    import os
+
     import jax
+    if os.environ.get("GSTPEAQ_PLATFORM"):
+        # CPU dry-runs of the sweep path (same hook as the CLI); must
+        # run before the first backend use
+        jax.config.update("jax_platforms", os.environ["GSTPEAQ_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 

@@ -24,7 +24,12 @@ def main() -> int:
     parser.add_argument("--precision", default=None)
     args = parser.parse_args()
 
+    import os
+
     import jax
+    if os.environ.get("GSTPEAQ_PLATFORM"):
+        # CPU dry-runs (same hook as the CLI); before first backend use
+        jax.config.update("jax_platforms", os.environ["GSTPEAQ_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
