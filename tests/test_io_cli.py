@@ -203,3 +203,34 @@ def test_cli_precision_mixed_and_totalsnr(tmp_path):
     assert lines[-1].endswith(" dB")
     snr = float(lines[-1].split(": ")[1].split(" ")[0])
     assert np.isfinite(snr)
+
+
+@pytest.mark.slow
+def test_cli_bands_property(tmp_path):
+    """--bands N (the reference's number-of-bands property,
+    src/fftearmodel.c:207-214): a 55-band basic run produces a finite ODG
+    different from the 109-band default, and the API rejects out-of-range
+    and advanced-mode requests."""
+    from gstpeaq_tpu import api
+
+    ref = TS.saw(48 * 1024)
+    test = TS.triangle(48 * 1024)
+    rp, tp = str(tmp_path / "r.wav"), str(tmp_path / "t.wav")
+    wavio.write_wav(rp, ref[:, None])
+    wavio.write_wav(tp, test[:, None])
+    out = {}
+    for bands in (None, 55):
+        cmd = [sys.executable, "-m", "gstpeaq_tpu", rp, tp]
+        if bands:
+            cmd[-2:-2] = ["--bands", str(bands)]
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              check=True, env=_cpu_env())
+        out[bands] = float(
+            proc.stdout.strip().splitlines()[-2].split(": ")[1])
+    assert np.isfinite(out[55]) and np.isfinite(out[None])
+    assert out[55] != out[None]
+
+    with pytest.raises(ValueError, match="55..109"):
+        api.peaq(ref, test, band_count=110)
+    with pytest.raises(ValueError, match="basic mode only"):
+        api.peaq(ref, test, advanced=True, band_count=60)
