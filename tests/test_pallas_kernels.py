@@ -147,6 +147,28 @@ def test_process_signal_pallas_dc_path(monkeypatch):
     assert np.abs(got_u - ref_u).max() / (np.abs(ref_u).max()) < 2e-3
 
 
+def test_spread_apply_matches_xla_spread_t(monkeypatch):
+    """The [Z, I]-layout spread kernel (pallas_fb.spread_apply — the
+    non-TILE_CONV-aligned TPU path, e.g. odd streaming chunks) agrees
+    with the XLA exp-form spread_t, including a ragged final tile
+    (I % TILE_I != 0) and a carried cu state."""
+    p = EP.fb_ear_params()
+    k = FB.build_consts(p, dtype=jnp.float32)
+    rng = np.random.default_rng(23)
+    n_i = 700                      # ragged: 700 = 512 + 188
+    fb_re = jnp.asarray(rng.standard_normal((2, 40, n_i)) * 0.1, jnp.float32)
+    fb_im = jnp.asarray(rng.standard_normal((2, 40, n_i)) * 0.1, jnp.float32)
+    cu0 = jnp.asarray(rng.uniform(0.2, 0.9, (2, 40)), jnp.float32)
+
+    monkeypatch.setattr(FB, "USE_PALLAS_SPREAD", False)
+    ref, cu_ref = FB.spread_t(k, fb_re, fb_im, cu0, True)
+    monkeypatch.setattr(FB, "USE_PALLAS_SPREAD", True)
+    got, cu_got = FB.spread_t(k, fb_re, fb_im, cu0, True)
+    for a, b in ((ref, got), (cu_ref, cu_got)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
+
+
 def test_pallas_iir_matches_toeplitz(monkeypatch):
     """The lane-shift doubling recurrence kernel (ops/pallas_iir, forced +
     interpret on CPU) agrees with the blocked-Toeplitz reference at
