@@ -152,10 +152,10 @@ def _make_kernel(steps, g, m):
                t2i_ref, pw_p_ref, pw_m_ref, pw2r_ref, pw2i_ref, out_ref,
                st_out_ref):
         row_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
-        st = st_ref[...]                             # [bb, 8] carried state
+        st = st_ref[...]                             # [bb, 1, 8] carried state
 
         def sc(i):
-            return st[:, i:i + 1][:, :, None]        # [bb, 1, 1]
+            return st[:, :, i:i + 1]                 # [bb, 1, 1]
 
         xs = x_ref[...] * lf_ref[0]
         # ff1: v1 = xs - 2 xs[-1] + xs[-2] (tails from the carried state)
@@ -182,11 +182,16 @@ def _make_kernel(steps, g, m):
         u_i = p2i + e2r * pw2i_ref[...] + e2i * pw2r_ref[...]
         out_ref[...] = 2.0 * (gr * u_r - gi * u_i)
         # new state, same packing as fb_ear.dc_reject's streaming tuple:
-        # (x_tail, (w, y1) carries, y1_tail, (Re u, Im u))
-        st_out_ref[...] = jnp.concatenate(
-            [xs[:, m - 1, L - 2:L], w[:, m - 1, L - 1:L],
-             y1[:, m - 1, L - 1:L], y1[:, m - 1, L - 2:L],
-             u_r[:, m - 1, L - 1:L], u_i[:, m - 1, L - 1:L]], axis=1)
+        # (x_tail, (w, y1) carries, y1_tail, (Re u, Im u)).  The 8 scalars
+        # ride lanes 0..7 of sublane 0 in a FULL (bb, 8, 128) tile: Mosaic
+        # SIGABRTs (lower_to_llo.cc d>>32) storing computed values into
+        # refs with sub-tile trailing dims, while a full-tile store of the
+        # zero-padded concat lowers fine (bisected on-chip, round 3).
+        c = jnp.concatenate(
+            [xs[:, m - 1:m, L - 2:L], w[:, m - 1:m, L - 1:L],
+             y1[:, m - 1:m, L - 1:L], y1[:, m - 1:m, L - 2:L],
+             u_r[:, m - 1:m, L - 1:L], u_i[:, m - 1:m, L - 1:L]], axis=2)
+        st_out_ref[...] = jnp.pad(c, ((0, 0), (0, 7), (0, L - 8)))
 
     return kernel
 
@@ -209,11 +214,15 @@ def dc_chain_blocked(x3: jnp.ndarray, level_factor, state=None,
     """
     n, m, l = x3.shape
     assert l == L and m % 8 == 0, (x3.shape,)
+    # state rides as [n, 1, 8]: a 2-d [n, 8] operand would need a (b, 8)
+    # block, and Mosaic rejects sublane blocks that neither divide 8 nor
+    # equal the array dim (b = 1 for long signals); with a singleton
+    # sublane axis the last two block dims (1, 8) always equal the array
     if state is None:
-        st = jnp.zeros((n, 8), jnp.float32)
+        st = jnp.zeros((n, 1, 8), jnp.float32)
     else:
-        st = jnp.concatenate([s.reshape(n, 2).astype(jnp.float32)
-                              for s in state], axis=1)
+        st = jnp.concatenate([s.reshape(n, 1, 2).astype(jnp.float32)
+                              for s in state], axis=2)
     consts, steps, g = _tables(m)
     # whole-row tiles: keep bb * m modest so ~12 live [bb, m, 128] f32
     # arrays stay well under VMEM
@@ -228,17 +237,17 @@ def dc_chain_blocked(x3: jnp.ndarray, level_factor, state=None,
     hp2, st_new = pl.pallas_call(
         _make_kernel(steps, g, m),
         out_shape=(jax.ShapeDtypeStruct((n, m, L), jnp.float32),
-                   jax.ShapeDtypeStruct((n, 8), jnp.float32)),
+                   jax.ShapeDtypeStruct((n, 8, L), jnp.float32)),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   blk,
-                  pl.BlockSpec((b, 8), lambda i: (i, 0),
+                  pl.BlockSpec((b, 1, 8), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   cblk((L, L)), cblk((L, L)), cblk((L, L)), cblk((L, L)),
                   cblk((1, 1, L)), cblk((1, 1, L)), cblk((1, 1, L)),
                   cblk((1, 1, L))],
         out_specs=(blk,
-                   pl.BlockSpec((b, 8), lambda i: (i, 0),
+                   pl.BlockSpec((b, 8, L), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
         # whole-row tiles exceed the default 16 MB scoped-VMEM budget
@@ -255,5 +264,6 @@ def dc_chain_blocked(x3: jnp.ndarray, level_factor, state=None,
       consts["pw2i"])
     if not return_state:
         return hp2
+    st_new = st_new[:, 0, :8]
     return hp2, (st_new[:, 0:2], st_new[:, 2:4], st_new[:, 4:6],
                  st_new[:, 6:8])
