@@ -670,10 +670,12 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
     else:
         dc_state, hp2_hist, cu_state, mask_state = state
     bdtype = k.internal_noise.dtype
-    use_dc = USE_PALLAS_DC
-    if use_dc is None:
-        use_dc = (jnp.dtype(k.level_factor.dtype) == jnp.float32
-                  and jax.default_backend() == "tpu")
+    # Default OFF since the round-3 on-chip A/B: the sequential-grid
+    # kernel measured 8.9 ms/iter (hlo, mb16) vs ~4 ms for the XLA
+    # ff/pole-cascade passes it replaces — the ~3840-step per-step grid
+    # overhead eats the fusion win.  GSTPEAQ_PALLAS_DC=1 forces it back
+    # on (the kernel stays tested, incl. its streaming state carry).
+    use_dc = bool(USE_PALLAS_DC)
     if blocked:
         t_sig = signal.shape[-2] * signal.shape[-1]
         lead_sig = signal.shape[:-2]

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any
 
 import jax
@@ -98,6 +99,14 @@ jax.tree_util.register_pytree_node(
     FFTEarConsts, _fft_consts_flatten, _fft_consts_unflatten)
 
 
+# Cooley-Tukey rDFT dispatch for the GEMM tiers: None = auto (follow
+# use_dft_gemm), GSTPEAQ_CT_DFT=0/1 forces from the environment (A/B +
+# kill switch, like GSTPEAQ_PALLAS_IIR).  The `accurate` tier always
+# takes the CT path — its precision story depends on the factorization.
+USE_CT_DFT = {"1": True, "0": False}.get(
+    os.environ.get("GSTPEAQ_CT_DFT", ""), None)
+
+
 def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
                  use_dft_gemm: bool | None = None,
                  spectrum_dtype=None,
@@ -144,7 +153,15 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
         use_dft_gemm = (spectrum_dtype == jnp.float32
                         or jax.default_backend() != "cpu")
     if use_ct_dft is None:
-        use_ct_dft = use_dft_gemm
+        # Default OFF for the plain GEMM tiers since the round-3 on-chip
+        # A/B: the factorization's twiddle fusions + stage reformats are
+        # HBM passes over [.., F, 2048] intermediates that the dense GEMM
+        # never materializes, and the dense GEMM already runs at the
+        # HIGH-precision MXU roofline — CT measured -23% basic / -15%
+        # advanced end to end despite ~4x fewer MACs.  The `accurate`
+        # tier is DEFINED by the CT-at-HIGHEST spectra and keeps it;
+        # GSTPEAQ_CT_DFT=1 forces it back on for A/B.
+        use_ct_dft = use_dft_gemm and (accurate or bool(USE_CT_DFT))
     om_weight = params.outer_middle_ear_weight
     # the outer/middle-ear weight is FOLDED into the grouping rows: the
     # weighted spectrum (power * om) then never materializes — grouping and

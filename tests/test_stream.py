@@ -29,15 +29,17 @@ def test_stream_equals_whole_signal():
 
 
 def test_stream_equals_whole_signal_f32_ct():
-    """The f32 tier's streaming path rides the CT-DFT permuted bin order
-    (spectra, bandwidth index maxes, permuted-row EHS) — chunked must
-    match whole-signal.  f32 chunk boundaries reassociate the blocked
-    recurrences, so the gate is loose; a bin-permutation bug would be
-    grossly wrong, not 1e-4."""
+    """The accurate tier's streaming path rides the CT-DFT permuted bin
+    order (spectra, bandwidth index maxes, permuted-row EHS) — chunked
+    must match whole-signal.  (The plain f32 tier defaults CT off since
+    the on-chip A/B; `accurate` is the tier defined by the CT spectra.)
+    f32 chunk boundaries reassociate the blocked recurrences, so the
+    gate is loose; a bin-permutation bug would be grossly wrong, not
+    1e-4."""
     n = 60 * 1024
     sa, tr = TS.saw(n), TS.triangle(n)
-    want = api.peaq(sa, tr, dtype="float32")
-    s = PeaqStream(channels=1, chunk_frames=16, dtype="float32")
+    want = api.peaq(sa, tr, dtype="accurate")
+    s = PeaqStream(channels=1, chunk_frames=16, dtype="accurate")
     s.feed(sa, tr)
     res = s.finalize()
     assert abs(res.odg - want.odg) < 2e-4, (res.odg, want.odg)
