@@ -489,9 +489,10 @@ def spread(k: FBEarConsts, fb_re: jnp.ndarray, fb_im: jnp.ndarray,
 USE_PALLAS_SPREAD = {"1": True, "0": False}.get(
     os.environ.get("GSTPEAQ_PALLAS_SPREAD", ""), None)
 
-# Pallas DC-chain kernel dispatch (ops/pallas_dc): None = auto (TPU backend
-# + float32 + tile-aligned input), True/False = force.
-# GSTPEAQ_PALLAS_DC=0/1 overrides from the environment.
+# Pallas DC-chain kernel dispatch (ops/pallas_dc): None/0 (default) = OFF
+# — the XLA ff/pole cascade measured ~4 ms vs the kernel's 8.9 ms in the
+# round-3 on-chip A/B, so the kernel is kept only as a tested A/B artifact.
+# GSTPEAQ_PALLAS_DC=1 (or force=True) enables it.
 USE_PALLAS_DC = {"1": True, "0": False}.get(
     os.environ.get("GSTPEAQ_PALLAS_DC", ""), None)
 

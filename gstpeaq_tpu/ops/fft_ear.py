@@ -99,10 +99,13 @@ jax.tree_util.register_pytree_node(
     FFTEarConsts, _fft_consts_flatten, _fft_consts_unflatten)
 
 
-# Cooley-Tukey rDFT dispatch for the GEMM tiers: None = auto (follow
-# use_dft_gemm), GSTPEAQ_CT_DFT=0/1 forces from the environment (A/B +
-# kill switch, like GSTPEAQ_PALLAS_IIR).  The `accurate` tier always
-# takes the CT path — its precision story depends on the factorization.
+# Cooley-Tukey rDFT dispatch: None (default) = OFF for the plain GEMM
+# tiers (the round-3 on-chip A/B measured CT -23% basic end to end; see
+# build_consts below), ON for the `accurate` tier, which is DEFINED by
+# the CT-at-HIGHEST spectra.  GSTPEAQ_CT_DFT=1 forces CT back on for
+# the plain tiers (A/B); GSTPEAQ_CT_DFT=0 is a no-op for `accurate`
+# (there is deliberately no kill switch — disabling CT there would
+# silently change the tier's accuracy contract).
 USE_CT_DFT = {"1": True, "0": False}.get(
     os.environ.get("GSTPEAQ_CT_DFT", ""), None)
 

@@ -28,7 +28,7 @@ def test_stream_equals_whole_signal():
         assert abs(g - w) <= 1e-8 * (1 + abs(w)), (name, g, w)
 
 
-def test_stream_equals_whole_signal_f32_ct():
+def test_stream_equals_whole_signal_accurate_ct():
     """The accurate tier's streaming path rides the CT-DFT permuted bin
     order (spectra, bandwidth index maxes, permuted-row EHS) — chunked
     must match whole-signal.  (The plain f32 tier defaults CT off since
@@ -43,6 +43,24 @@ def test_stream_equals_whole_signal_f32_ct():
     s.feed(sa, tr)
     res = s.finalize()
     assert abs(res.odg - want.odg) < 2e-4, (res.odg, want.odg)
+
+
+def test_stream_equals_whole_signal_f32_ct_forced(monkeypatch):
+    """GSTPEAQ_CT_DFT=1's force-on path (CT spectra in the plain float32
+    tier) stays exercised end to end, streaming vs whole-signal."""
+    from gstpeaq_tpu.ops import fft_ear
+    monkeypatch.setattr(fft_ear, "USE_CT_DFT", True)
+    api._jitted_basic.cache_clear()
+    try:
+        n = 40 * 1024
+        sa, tr = TS.saw(n), TS.triangle(n)
+        want = api.peaq(sa, tr, dtype="float32")
+        s = PeaqStream(channels=1, chunk_frames=16, dtype="float32")
+        s.feed(sa, tr)
+        res = s.finalize()
+        assert abs(res.odg - want.odg) < 2e-4, (res.odg, want.odg)
+    finally:
+        api._jitted_basic.cache_clear()
 
 
 @pytest.mark.slow
