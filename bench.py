@@ -59,12 +59,18 @@ def make_pairs(batch: int, seconds: float, channels: int = 2,
 
 
 def bench(advanced: bool, batch: int, seconds: float, dtype: str,
-          iters: int = 5, microbatch: int = 32) -> float:
+          iters: int = 5, microbatch: int = 32,
+          repeats: int = 1) -> list[float]:
     """Steady-state throughput: `iters` batches are dispatched back to back
     and materialized only at the end, as a production sweep would run (the
     per-execute host round trip on this tunneled backend is ~33 ms; syncing
     between batches serializes it with device compute and understates the
-    sustained rate by up to ~45%)."""
+    sustained rate by up to ~45%).
+
+    Returns one rate per repeat (each repeat times its own pipelined group
+    of `iters` batches): the tunnel wobbles run-to-run by up to ~10%, so a
+    single number cannot distinguish a regression from noise — callers
+    report min/median/max across repeats."""
     import jax
     from gstpeaq_tpu import constants as C
     from gstpeaq_tpu.parallel import batch as B
@@ -81,16 +87,19 @@ def bench(advanced: bool, batch: int, seconds: float, dtype: str,
     else:
         fn = B._jitted_basic_batch(92.0, C.DEFAULT_SETTINGS, dtype)
     np.asarray(fn(*chunks[0]).odg)  # compile + warm up
-    t0 = time.perf_counter()
-    outs = []
-    for _ in range(iters):
-        outs.extend(fn(*ch) for ch in chunks)
-    # host-materialize at the end: block_until_ready() does not reliably
-    # synchronize on this backend (see CLAUDE.md)
-    for o in outs:
-        np.asarray(o.odg)
-    dt = time.perf_counter() - t0
-    return iters * batch * seconds / dt
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        outs = []
+        for _ in range(iters):
+            outs.extend(fn(*ch) for ch in chunks)
+        # host-materialize at the end: block_until_ready() does not reliably
+        # synchronize on this backend (see CLAUDE.md)
+        for o in outs:
+            np.asarray(o.odg)
+        dt = time.perf_counter() - t0
+        rates.append(iters * batch * seconds / dt)
+    return rates
 
 
 def _disable_pallas() -> None:
@@ -118,6 +127,17 @@ def bench_safe(**kwargs):
         return bench(**kwargs), note[:300]
 
 
+def spread_fields(rates: list[float]) -> dict:
+    """min/median/max across repeats (VERDICT r03 #7: a ±10% tunnel wobble
+    must be distinguishable from a real regression in the round record)."""
+    rs = sorted(rates)
+    med = rs[len(rs) // 2] if len(rs) % 2 else 0.5 * (
+        rs[len(rs) // 2 - 1] + rs[len(rs) // 2])
+    return {"value": round(med, 1),
+            "spread": [round(rs[0], 1), round(rs[-1], 1)],
+            "n_repeats": len(rs)}
+
+
 def main() -> None:
     import os
 
@@ -142,18 +162,22 @@ def main() -> None:
 
     # basic: one 64-pair chunk per batch (device compute ~60 ms hides the
     # ~33 ms dispatch floor; smaller chunks leave the device host-bound)
-    basic_rate, basic_note = bench_safe(
+    basic_rates, basic_note = bench_safe(
         advanced=False, batch=batch, seconds=seconds, dtype=dtype,
-        iters=10, microbatch=64)
+        iters=4, microbatch=64, repeats=3)
+    basic_sp = spread_fields(basic_rates)
+    basic_rate = basic_sp["value"]
     print(f"# device={dev.device_kind} dtype={dtype} batch={batch} "
           f"len={seconds}s", file=sys.stderr)
     print(f"# basic: {basic_rate:.0f} audio-sec/s "
-          f"({basic_rate / batch:.0f}x realtime/pair)", file=sys.stderr)
+          f"({basic_rate / batch:.0f}x realtime/pair), "
+          f"min/max {basic_sp['spread'][0]:.0f}/{basic_sp['spread'][1]:.0f} "
+          f"over {basic_sp['n_repeats']} repeats", file=sys.stderr)
     headline_rec = {
         "metric": "audio-seconds/sec/chip (basic PEAQ, batch 64)",
-        "value": round(basic_rate, 1),
         "unit": "audio-sec/s",
         "vs_baseline": round(basic_rate / 6400.0, 3),
+        **basic_sp,
     }
     if basic_note:
         headline_rec["note"] = basic_note
@@ -170,31 +194,33 @@ def main() -> None:
         # under device compute (mb8 busy time dropped below that floor)
         (f"audio-seconds/sec/chip (advanced PEAQ, batch {batch})",
          dict(advanced=True, batch=batch, seconds=seconds, dtype=dtype,
-              iters=4, microbatch=16)),
+              iters=2, microbatch=16, repeats=3)),
         (f"audio-seconds/sec/chip (basic PEAQ, accurate tier, batch {batch})",
          dict(advanced=False, batch=batch, seconds=seconds,
               dtype="mixed" if on_tpu else "float64", iters=2,
-              microbatch=8)),
+              microbatch=8, repeats=2)),
         # CT-at-HIGHEST candidate tier (docs/precision.md): accuracy ==
         # mixed on the CPU proxy, spectra stay on the MXU — expected to
         # replace the VPU-FFT record above if the on-chip drift check
         # (tools/tpu_drift.py --dtype accurate) agrees
         (f"audio-seconds/sec/chip (basic PEAQ, CT-HIGHEST tier, batch {batch})",
          dict(advanced=False, batch=batch, seconds=seconds,
-              dtype="accurate" if on_tpu else "float64", iters=4,
-              microbatch=32)),
+              dtype="accurate" if on_tpu else "float64", iters=2,
+              microbatch=32, repeats=3)),
     ]:
         try:
-            rate, err = bench_safe(**kwargs)
+            rates, err = bench_safe(**kwargs)
         except Exception as exc:  # pragma: no cover
-            rate, err = 0.0, f"{type(exc).__name__}: {exc}"
-        rec = {"metric": metric, "value": round(rate, 1),
-               "unit": "audio-sec/s",
-               "vs_baseline": round(rate / 6400.0, 3)}
+            rates, err = [0.0], f"{type(exc).__name__}: {exc}"
+        sp = spread_fields(rates)
+        rate = sp["value"]
+        rec = {"metric": metric, "unit": "audio-sec/s",
+               "vs_baseline": round(rate / 6400.0, 3), **sp}
         if err:
             rec["error"] = err[:300]
         print(json.dumps(rec), flush=True)
-        print(f"# {metric}: {rate:.0f} ({rate / batch:.0f}x realtime/pair)",
+        print(f"# {metric}: {rate:.0f} ({rate / batch:.0f}x realtime/pair), "
+              f"min/max {sp['spread'][0]:.0f}/{sp['spread'][1]:.0f}",
               file=sys.stderr)
     # headline repeated LAST: the driver records the last JSON line on
     # stdout (BENCH_r02.json took the accurate tier as the round's record)

@@ -46,3 +46,13 @@ def test_bench_safe_passthrough_on_success(monkeypatch):
     monkeypatch.setattr(bench, "bench", lambda **kw: 42.0)
     rate, note = bench.bench_safe(advanced=True)
     assert rate == 42.0 and note is None
+
+
+def test_spread_fields_reports_median_and_extremes():
+    sp = bench.spread_fields([9500.0, 9100.0, 9800.0])
+    assert sp == {"value": 9500.0, "spread": [9100.0, 9800.0],
+                  "n_repeats": 3}
+    sp2 = bench.spread_fields([100.0, 200.0])
+    assert sp2["value"] == 150.0
+    sp1 = bench.spread_fields([7.0])
+    assert sp1["value"] == 7.0 and sp1["spread"] == [7.0, 7.0]
