@@ -684,13 +684,12 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
         t_sig = signal.shape[-1]
         lead_sig = signal.shape[:-1]
     if use_dc and t_sig % (128 * 384) == 0:
-        # float32 fast path: the entire level-scale -> ff -> biquad
-        # cascade in one VMEM-resident Pallas pass (ops/pallas_dc), for
-        # whole signals AND streaming chunks (the kernel carries/returns
-        # dc_reject's state tuple, flattened over the lead dims).
-        # Blocked input reshapes to the kernel layout by flattening MAJOR
-        # dims only (free); flat input pays one retile here.  The flat
-        # hp2 view below cancels against _blocks_for_conv's re-block.
+        # Pallas sequential-grid kernel (ops/pallas_dc): measured SLOWER
+        # than the XLA paths (8.9 ms/iter) — kept behind the env flag as
+        # an A/B artifact only.  Blocked input reshapes to the kernel
+        # layout by flattening MAJOR dims only (free); flat input pays
+        # one retile here.  The flat hp2 view below cancels against
+        # _blocks_for_conv's re-block.
         from . import pallas_dc
         x3 = signal.astype(jnp.float32).reshape(-1, t_sig // 128, 128)
         dc_flat = (None if dc_state is None else
@@ -701,6 +700,22 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
         hp2 = hp2.reshape(*lead_sig, t_sig)
         if return_state:
             dc_new = tuple(s.reshape(*lead_sig, 2) for s in dc_new)
+    elif k.level_factor.dtype == jnp.float32 and t_sig % 128 == 0:
+        # default float32 path: blocked state-space cascade (ops/dc_block)
+        # — one f64-exact block-response GEMM + scalar carry scans,
+        # reading the shipped [.., T/128, 128] tiles in place (the old
+        # ff/pole pipeline cost ~6.6 ms/iter at advanced mb16 including
+        # the blocked->flat retile; this form ~2 ms).  The flat hp2
+        # reshape below cancels against _blocks_for_conv's re-block.
+        from . import dc_block
+        if blocked:
+            x3 = signal.astype(jnp.float32)
+        else:
+            x3 = signal.astype(jnp.float32).reshape(
+                *lead_sig, t_sig // 128, 128)
+        hp2, dc_new = dc_block.dc_chain_blocked(
+            x3, k.level_factor, state=dc_state, return_state=True)
+        hp2 = hp2.reshape(*lead_sig, t_sig)
     else:
         if blocked:
             signal = signal.reshape(*lead_sig, t_sig)
