@@ -195,15 +195,11 @@ def main() -> None:
         (f"audio-seconds/sec/chip (advanced PEAQ, batch {batch})",
          dict(advanced=True, batch=batch, seconds=seconds, dtype=dtype,
               iters=2, microbatch=16, repeats=3)),
+        # accurate tier == CT-at-HIGHEST since the r4 on-chip 20-item
+        # drift run (docs/precision.md): ~9x lower worst drift than the
+        # VPU-FFT "mixed" formulation at ~2x its speed.  mixed remains a
+        # CLI option for A/B but is no longer benched.
         (f"audio-seconds/sec/chip (basic PEAQ, accurate tier, batch {batch})",
-         dict(advanced=False, batch=batch, seconds=seconds,
-              dtype="mixed" if on_tpu else "float64", iters=2,
-              microbatch=8, repeats=2)),
-        # CT-at-HIGHEST candidate tier (docs/precision.md): accuracy ==
-        # mixed on the CPU proxy, spectra stay on the MXU — expected to
-        # replace the VPU-FFT record above if the on-chip drift check
-        # (tools/tpu_drift.py --dtype accurate) agrees
-        (f"audio-seconds/sec/chip (basic PEAQ, CT-HIGHEST tier, batch {batch})",
          dict(advanced=False, batch=batch, seconds=seconds,
               dtype="accurate" if on_tpu else "float64", iters=2,
               microbatch=32, repeats=3)),

@@ -118,11 +118,12 @@ def _tables(block: int = BLOCK):
                 a_2=complex(lam2 ** block))
 
 
-def _entries(a_diag: float, drive: jnp.ndarray, init: jnp.ndarray):
+def _entries(a_diag, drive: jnp.ndarray, init: jnp.ndarray):
     """Entry (exclusive-prefix) states of s_{k+1} = a s_k + drive_k over
-    the last axis."""
-    inc = iir.linear_recurrence(jnp.asarray(a_diag, drive.dtype), drive,
-                                axis=-1, y0=init)
+    the last axis.  Blocked evaluation: the log-depth associative scan's
+    ~12 slice/concat levels over the [M, G] summaries cost ~1.1 ms/iter
+    at advanced mb16; the Toeplitz form is one tiny GEMM."""
+    inc = iir.linear_recurrence_blocked(a_diag, drive, y0=init)
     return (jnp.concatenate([init[..., None], inc[..., :-1]], axis=-1),
             inc[..., -1])
 
@@ -158,39 +159,54 @@ def dc_chain_blocked(x3: jnp.ndarray, level: jnp.ndarray, state=None,
         u2r_0, u2i_0 = rs(u2s[..., 0]), rs(u2s[..., 1])
 
     # ---- stage 1a: w (ff1 folded; level folded here, once) ----
+    # Per-block summaries come from ONE fused multi-reduce pass per big
+    # array (lane slices each re-read the whole array — a [.., 2]-lane
+    # slice of the 126 MB input measured 0.38 ms TWICE when XLA
+    # duplicated it into consumers; the optimization_barrier pins the
+    # small results so the big operand is read once).
     w0 = jnp.dot(x, f(tb["tw"]), precision=hp) * level
-    xl = x[..., block - 2:] * level                      # [M, G, 2]
-    prev = jnp.concatenate(
-        [jnp.stack([xm2_0, xm1_0], -1)[:, None], xl[:, :-1]], axis=1)
-    xm2_e, xm1_e = prev[..., 0], prev[..., 1]
+    r1 = jnp.sum(x * f(tb["tw"][:, -1]), axis=-1) * level  # = w0[.., -1]
+    xm1c = x[..., block - 1] * level
+    xm2c = x[..., block - 2] * level
+    r1, xm1c, xm2c = jax.lax.optimization_barrier((r1, xm1c, xm2c))
+    xm1_e = jnp.concatenate([xm1_0[:, None], xm1c[:, :-1]], axis=1)
+    xm2_e = jnp.concatenate([xm2_0[:, None], xm2c[:, :-1]], axis=1)
     c1l, c2l = float(tb["cx1"][-1]), float(tb["cx2"][-1])
-    dw = w0[..., -1] + c1l * xm1_e + c2l * xm2_e
-    w_e, _ = _entries(float(tb["a_p"]), dw, w_0)
+    dw = r1 + c1l * xm1_e + c2l * xm2_e
+    w_e, w_fin = _entries(float(tb["a_p"]), dw, w_0)
     w = (w0 + xm1_e[..., None] * f(tb["cx1"]) + xm2_e[..., None] * f(tb["cx2"])
          + w_e[..., None] * f(tb["pw_p"]))
 
     # ---- stage 1b: y1 (plain pole_m blocked recurrence) ----
     y10 = jnp.dot(w, f(tb["tm"]), precision=hp)
-    y1_e, _ = _entries(float(tb["a_m"]), y10[..., -1], y1m1_0)
+    # NOTE: the drive is y10's last lane, recomputed as a reduce over the
+    # MATERIALIZED w — expressing it instead as composite x-reduces
+    # (tw @ tm[:, -1] columns) re-separates the w-entry coupling into one
+    # ~95-scale coefficient and re-opens the single-operator conditioning
+    # trap (module docstring).
+    ry = jax.lax.optimization_barrier(
+        jnp.sum(w * f(tb["tm"][:, -1]), axis=-1))
+    y1_e, _ = _entries(float(tb["a_m"]), ry, y1m1_0)
     y1 = y10 + y1_e[..., None] * f(tb["pw_m"])
 
     # ---- stage 2: y2 (ff2 + complex pair; real output rows) ----
-    # u2 block drive: two weighted lane reduces over y1 (XLA fuses these
-    # with y1's correction FMA above — y1 is read once)
+    # u2 block drives + boundary lanes: one fused multi-reduce over y1
     fur = jnp.sum(y1 * f(tb["bu_re"]), axis=-1)
     fui = jnp.sum(y1 * f(tb["bu_im"]), axis=-1)
-    y1l = y1[..., block - 2:]
-    y1prev = jnp.concatenate(
-        [jnp.stack([y1m2_0, y1m1_0], -1)[:, None], y1l[:, :-1]], axis=1)
-    y1m2_e, y1m1_e = y1prev[..., 0], y1prev[..., 1]
+    y1m1c = y1[..., block - 1]
+    y1m2c = y1[..., block - 2]
+    fur, fui, y1m1c, y1m2c = jax.lax.optimization_barrier(
+        (fur, fui, y1m1c, y1m2c))
+    y1m1_e = jnp.concatenate([y1m1_0[:, None], y1m1c[:, :-1]], axis=1)
+    y1m2_e = jnp.concatenate([y1m2_0[:, None], y1m2c[:, :-1]], axis=1)
     au1, au2 = tb["au1"], tb["au2"]
     dur = fur + float(au1.real) * y1m1_e + float(au2.real) * y1m2_e
     dui = fui + float(au1.imag) * y1m1_e + float(au2.imag) * y1m2_e
     # complex scalar scan over block summaries (complex never crosses jit)
     cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
-    u2_inc = iir.linear_recurrence(
-        jnp.asarray(tb["a_2"], cdtype), (dur + 1j * dui).astype(cdtype),
-        axis=-1, y0=(u2r_0 + 1j * u2i_0).astype(cdtype))
+    u2_inc = iir.linear_recurrence_blocked(
+        tb["a_2"], (dur + 1j * dui).astype(cdtype),
+        y0=(u2r_0 + 1j * u2i_0).astype(cdtype))
     u2_e = jnp.concatenate(
         [(u2r_0 + 1j * u2i_0).astype(cdtype)[:, None], u2_inc[:, :-1]],
         axis=1)
@@ -203,13 +219,13 @@ def dc_chain_blocked(x3: jnp.ndarray, level: jnp.ndarray, state=None,
     y2 = y2.reshape(*lead, g_blocks, block)
     if not return_state:
         return y2
+    # final states from the carry scans / summary lanes — never another
+    # lane slice of the big arrays
     rl = lambda v: v.reshape(*lead)
     new_state = (
-        jnp.stack([rl(xl[:, -1, 0]), rl(xl[:, -1, 1])], axis=-1),
-        jnp.stack([rl(w[:, -1, block - 1]), rl(y1[:, -1, block - 1])],
-                  axis=-1),
-        jnp.stack([rl(y1[:, -1, block - 2]), rl(y1[:, -1, block - 1])],
-                  axis=-1),
+        jnp.stack([rl(xm2c[:, -1]), rl(xm1c[:, -1])], axis=-1),
+        jnp.stack([rl(w_fin), rl(y1m1c[:, -1])], axis=-1),
+        jnp.stack([rl(y1m2c[:, -1]), rl(y1m1c[:, -1])], axis=-1),
         jnp.stack([rl(jnp.real(u2_inc[:, -1]).astype(dtype)),
                    rl(jnp.imag(u2_inc[:, -1]).astype(dtype))], axis=-1))
     return y2, new_state
