@@ -507,19 +507,24 @@ def stateless_pair_hop(k: FFTEarConsts, ref_blocks: jnp.ndarray,
     hi = k.group_bin_hi
     ref = ref_blocks.astype(sdtype)
     test = test_blocks.astype(sdtype)
-    both = jnp.stack([ref, ref - test])
     if k.ct_mats is not None:
         # factored CT spectra in the packed [.., F, 8, 256] grid; all bin
         # arrays come out flat [.., 1024] in the permuted order (hi ==
         # bins == 1024, so the delta slices below are full-width no-ops)
+        both = jnp.stack([ref, ref - test])
         spec = CT.spec_hop(k.ct_mats, both, k.dft_precision)
         r_x, d_x = spec[0], spec[1]
         t_x = r_x - d_x
         power = CT.power_flat(jnp.stack([r_x, t_x])) * k.level_factor
         delta_power = CT.cross_flat(d_x, r_x + t_x) * k.level_factor
     else:
-        spec = _spec_ri_hop(k, both)
-        r_ri, d_ri = spec[0], spec[1]
+        # ref and delta transform as SEPARATE calls: the stacked form
+        # materialized the [2, .., F+1, 1024] pair (~1.7 ms/iter at
+        # advanced mb16) just to batch two dots whose operands XLA then
+        # reformatted anyway; separately, ref feeds its dots directly and
+        # the exact subtract fuses into delta's operand copy
+        r_ri = _spec_ri_hop(k, ref)
+        d_ri = _spec_ri_hop(k, ref - test)
         t_ri = r_ri - d_ri
         spec2 = jnp.stack([r_ri, t_ri])
         power = (spec2[..., :bins] ** 2
