@@ -195,10 +195,12 @@ def main() -> None:
         (f"audio-seconds/sec/chip (advanced PEAQ, batch {batch})",
          dict(advanced=True, batch=batch, seconds=seconds, dtype=dtype,
               iters=2, microbatch=16, repeats=3)),
-        # accurate tier == CT-at-HIGHEST since the r4 on-chip 20-item
-        # drift run (docs/precision.md): ~9x lower worst drift than the
-        # VPU-FFT "mixed" formulation at ~2x its speed.  mixed remains a
-        # CLI option for A/B but is no longer benched.
+        # accurate tier == dense rDFT with HIGHEST front-end GEMMs since
+        # the r4 on-chip 20-item drift runs (docs/precision.md): worst
+        # |dODG| 1.4e-4 basic / 5.1e-4 advanced — inside the 1e-3 gate —
+        # and it dominates both prior accurate candidates (VPU-FFT
+        # "mixed": 2x slower, 1.8e-2 worst; CT-at-HIGHEST: slower and
+        # 2.0e-3 worst).  mixed/CT remain A/B options, no longer benched.
         (f"audio-seconds/sec/chip (basic PEAQ, accurate tier, batch {batch})",
          dict(advanced=False, batch=batch, seconds=seconds,
               dtype="accurate" if on_tpu else "float64", iters=2,

@@ -79,22 +79,19 @@ def resolve_dtypes(name: str):
     "float32"  the TPU throughput tier: DFT-GEMM spectra; typical ~1e-4
                ODG drift, up to ~3e-2 on extreme (<10 dB SNR) items via
                bandwidth threshold flips (docs/precision.md)
-    "mixed"    the accurate TPU tier: VPU-FFT spectra (rounding ~eps*
-               sqrt(log N) instead of the GEMM's eps*sqrt(K)) + the same
-               f32 band chain (every band stage contributes <=7e-8 ODG —
-               measured, tools/noise_budget.py).  Typical <=3e-5 drift,
-               worst 2e-3 on corpus v2; several times faster than the
-               former f64-band-chain mixed tier, and strictly more
-               accurate on codec-grade items (which are limited by the
-               shared spectra, not the band chain).
-    "accurate" candidate middle tier: CT-factored DFT GEMMs (ops/ct_dft)
-               with EVERY GEMM at HIGHEST precision + the f32 band chain.
-               Spectrum rounding sits at the factorization's eps*sqrt(256)
-               floor — a few times the FFT tier's eps*sqrt(log N) but ~6x
-               below the throughput tier's HIGH (bf16x3) GEMMs — while the
-               spectra keep riding the MXU instead of the ~4x-slower VPU
-               FFT path.  Measured on corpus v2 (CPU proxy, f32 GEMM
-               accumulation ~ TPU HIGHEST): see docs/precision.md.
+    "accurate" the accurate TPU tier (r4): the SAME dense DFT-GEMM
+               pipelines with EVERY front-end GEMM (rDFT, FB conv, EHS)
+               at HIGHEST precision + the f32 band chain (every band
+               stage contributes <=7e-8 ODG — measured,
+               tools/noise_budget.py).  On-chip corpus v2: worst |dODG|
+               1.4e-4 basic / 5.1e-4 advanced — inside the 1e-3
+               conformance gate — at ~77% of the throughput tier's rate
+               (docs/precision.md).
+    "mixed"    superseded A/B tier: VPU-FFT spectra (rounding ~eps*
+               sqrt(log N)) + the same f32 band chain.  Measured SLOWER
+               (~2x) and higher worst drift (1.8e-2, threshold flips)
+               than "accurate" on the r4 on-chip run — kept selectable
+               for diagnosis only.
     Use use_fft_spectra(name) / use_accurate(name) to pick a tier's
     spectrum path and GEMM precision.
     """
@@ -166,8 +163,9 @@ def default_dtype() -> str:
     """float64 when x64 is enabled (CPU conformance), else float32 (TPU).
 
     The float32 tier satisfies the <=1e-3-ODG conformance proxy on
-    moderate (conformance-grade) material at full throughput; "mixed"
-    (VPU-FFT spectra) is the accurate tier — see docs/precision.md.
+    moderate (conformance-grade) material at full throughput;
+    "accurate" (HIGHEST front-end GEMMs) holds it on the whole corpus —
+    see docs/precision.md.
     """
     import jax
     return "float64" if jax.config.jax_enable_x64 else "float32"

@@ -156,15 +156,17 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
         use_dft_gemm = (spectrum_dtype == jnp.float32
                         or jax.default_backend() != "cpu")
     if use_ct_dft is None:
-        # Default OFF for the plain GEMM tiers since the round-3 on-chip
-        # A/B: the factorization's twiddle fusions + stage reformats are
-        # HBM passes over [.., F, 2048] intermediates that the dense GEMM
-        # never materializes, and the dense GEMM already runs at the
-        # HIGH-precision MXU roofline — CT measured -23% basic / -15%
-        # advanced end to end despite ~4x fewer MACs.  The `accurate`
-        # tier is DEFINED by the CT-at-HIGHEST spectra and keeps it;
-        # GSTPEAQ_CT_DFT=1 forces it back on for A/B.
-        use_ct_dft = use_dft_gemm and (accurate or bool(USE_CT_DFT))
+        # Default OFF for EVERY tier since the r4 on-chip runs: the
+        # factorization's twiddle fusions + stage reformats are HBM
+        # passes over [.., F, 2048] intermediates that the dense GEMM
+        # never materializes (CT measured -23% basic / -14% advanced at
+        # HIGH), and at HIGHEST the dense GEMM is both FASTER (7.9k vs
+        # 7.3k a-s/s basic) and ~14x more accurate (worst |dODG| 1.4e-4
+        # vs 2.0e-3 on corpus v2 — the CT path's extra f32 twiddle
+        # elementwise rounding outweighs its smaller K).  The `accurate`
+        # tier is therefore the DENSE rDFT with every front-end GEMM at
+        # HIGHEST; GSTPEAQ_CT_DFT=1 forces CT back on for A/B.
+        use_ct_dft = use_dft_gemm and bool(USE_CT_DFT)
     om_weight = params.outer_middle_ear_weight
     # the outer/middle-ear weight is FOLDED into the grouping rows: the
     # weighted spectrum (power * om) then never materializes — grouping and

@@ -164,14 +164,14 @@ def test_advanced_unified_input_poisoned_tail():
 
 
 def test_accurate_tier_runs_both_modes(monkeypatch):
-    """The "accurate" precision tier (CT DFT-GEMM spectra with every
+    """The "accurate" precision tier (r4: the DENSE rDFT with every
     front-end GEMM pinned to HIGHEST, api.use_accurate) must build and,
-    on CPU — where precision hints are no-ops — agree EXACTLY-ish with a
-    float32 run FORCED onto the CT path (same arithmetic: pure wiring
-    test; the TPU accuracy claim is measured by tools/tpu_drift.py).
-    The default f32 tier uses the DENSE rDFT GEMM (CT defaulted off
-    after the round-3 on-chip A/B), a different summation order, so it
-    agrees only to the CT-vs-dense arithmetic delta (~4e-6 ODG here)."""
+    on CPU — where precision hints are no-ops — agree EXACTLY with the
+    default float32 tier (identical arithmetic: pure wiring test; the
+    TPU accuracy claim — worst |dODG| 1.4e-4 basic / 5.1e-4 advanced on
+    corpus v2 — is measured by tools/tpu_drift.py).  The CT path stays
+    forceable via GSTPEAQ_CT_DFT=1 and agrees to the CT-vs-dense
+    arithmetic delta only."""
     from gstpeaq_tpu.ops import fft_ear
     n = 30 * 1024
     ref, test = TS.saw(n), TS.triangle(n)
@@ -180,17 +180,17 @@ def test_accurate_tier_runs_both_modes(monkeypatch):
         a = api.peaq(ref, test, advanced=adv, dtype="accurate")
         f = api.peaq(ref, test, advanced=adv, dtype="float32")
         assert np.isfinite(a.odg)
-        # dense-GEMM f32 vs CT accurate: reassociated arithmetic only
-        assert abs(a.odg - f.odg) < 1e-4, (adv, a.odg, f.odg)
+        # same arithmetic on CPU (precision hints are TPU-only)
+        assert abs(a.odg - f.odg) < 1e-9, (adv, a.odg, f.odg)
         acc[adv] = a.odg
-    # force the f32 tier onto the CT path: identical arithmetic on CPU
+    # the CT A/B path still builds and runs: reassociated arithmetic
     monkeypatch.setattr(fft_ear, "USE_CT_DFT", True)
     api._jitted_basic.cache_clear()
     api._jitted_advanced.cache_clear()
     try:
         for adv in (False, True):
             f = api.peaq(ref, test, advanced=adv, dtype="float32")
-            assert abs(acc[adv] - f.odg) < 1e-6, (adv, acc[adv], f.odg)
+            assert abs(acc[adv] - f.odg) < 1e-4, (adv, acc[adv], f.odg)
     finally:
         # drop the CT-forced programs so later tests rebuild defaults
         api._jitted_basic.cache_clear()
