@@ -574,11 +574,18 @@ def back_and_forward_masking_t(k: FBEarConsts, e0: jnp.ndarray,
     ipf = C.FB_FRAMESIZE // C.FB_SUBSAMPLING  # 6
     e0f = e0.reshape(*e0.shape[:-1], n_frames, ipf)
     wa, wb = k.back_mask_w[0], k.back_mask_w[1]
-    # two per-tap reduces over the lane minor (a single fused dual-tap
-    # reduce over a front-padded copy was tried: the lane concatenate and
-    # overlapping frame slices cost more than the second reduce)
-    sb = jnp.sum(e0f * wb, axis=-1)                     # [..., Z, F]
-    sa = jnp.sum(e0f * wa, axis=-1)
+    # ONE pass over e0 for both tap sets: the two separate reduces each
+    # re-read the full instant-rate array (~157 MB at advanced mb16,
+    # 0.7 ms apiece in the r04 profile); stacking the weights on a new
+    # major axis makes XLA emit a single two-output fusion, and the
+    # [..., 0/1] major-dim slices fuse into the consumers.  (A fused
+    # dual-tap reduce over a front-PADDED copy was tried earlier and
+    # lost to the lane concatenate; this form pads nothing.)
+    w2 = jnp.stack([wb, wa])                            # [2, ipf]
+    sab = jnp.sum(e0f[..., None, :, :, :]
+                  * w2[:, None, None, :], axis=-1)      # [..., 2, Z, F]
+    sb = sab[..., 0, :, :]                              # [..., Z, F]
+    sa = sab[..., 1, :, :]
     if e0_tail is None:
         prev = jnp.zeros_like(sa[..., :1])
     else:  # previous chunk's last frame, instants 1..5 (wa[0] = 0)
