@@ -177,7 +177,8 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
                advanced: bool = False, playback_level: float = 92.0,
                settings: C.Settings = C.DEFAULT_SETTINGS,
                dtype: str | None = None, granularity: int = 64,
-               microbatch: int = 8, prefetch_gb: float = 6.0):
+               microbatch: int = 8, prefetch_gb: float = 6.0,
+               timings: dict | None = None):
     """Compute ODG/DI for a batch of pairs on the current default device.
 
     refs/tests: sequences of [T] or [T, C] float arrays (48 kHz).  The batch
@@ -194,7 +195,16 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
     after), so a transfer-first sweep rides the fast window.  Batches
     exceeding the budget fall back to interleaved prep/put/dispatch.
     Returns dict with 'odg' [B], 'di' [B], 'movs' [B, M] numpy arrays.
+
+    `timings`, if given, is filled with wall-second phase attribution:
+    'stage' (host padding + device puts), 'dispatch' (all fn() calls),
+    'first_sync' (first result materialization — on the tunneled axon
+    backend a process's first big-program execution stalls ~100-160 s
+    loading the executable, even on compile-cache hits), 'drain' (the
+    remaining materializations = steady-state device time).
     """
+    import time as _time
+
     import jax
     from .. import api
     api.enable_compile_cache()
@@ -231,9 +241,11 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
     prefetch = (-(-n // mb) * mb) * bytes_per_pair <= prefetch_gb * 1e9
 
     outs, takes = [], []
+    t0 = _time.perf_counter()
     if prefetch:
         staged = [([jax.device_put(a) for a in chunk], take)
                   for chunk, take in chunks_np()]
+        t1 = _time.perf_counter()
         for chunk, take in staged:
             # dispatch every chunk before materializing any result: a
             # host round trip on this backend is ~29 ms, and syncing
@@ -241,14 +253,23 @@ def peaq_batch(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
             outs.append(fn(*chunk))
             takes.append(take)
     else:
+        t1 = t0
         for chunk, take in chunks_np():
             outs.append(fn(*[jax.device_put(a) for a in chunk]))
             takes.append(take)
-    return {
-        "odg": np.concatenate([np.asarray(o.odg)[:t]
-                               for o, t in zip(outs, takes)]),
+    t2 = _time.perf_counter()
+    odgs = [np.asarray(outs[0].odg)]
+    t3 = _time.perf_counter()
+    odgs += [np.asarray(o.odg) for o in outs[1:]]
+    res = {
+        "odg": np.concatenate([o[:t] for o, t in zip(odgs, takes)]),
         "di": np.concatenate([np.asarray(o.di)[:t]
                               for o, t in zip(outs, takes)]),
         "movs": np.concatenate([np.asarray(o.movs)[:t]
                                 for o, t in zip(outs, takes)]),
     }
+    if timings is not None:
+        t4 = _time.perf_counter()
+        timings.update(stage=t1 - t0, dispatch=t2 - t1,
+                       first_sync=t3 - t2, drain=t4 - t3)
+    return res

@@ -714,3 +714,156 @@ class PeaqStreamAdvanced:
             self._fb_buf = [z.copy(), z.copy()]
             self._finalized = True
         return self.current()
+
+
+# ---------------------------------------------------------------------------
+# Lockstep stream pool: N concurrent streams, one vmapped program
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PoolResult:
+    """Per-stream results: odg/di are [N] float arrays; movs maps MOV
+    name -> [N] float array."""
+    odg: np.ndarray
+    di: np.ndarray
+    movs: dict[str, np.ndarray]
+
+
+class PeaqStreamPool:
+    """N concurrent long-form streams advanced in lockstep by ONE vmapped
+    chunk program — the production serving shape for long programs: a
+    single stream leaves the chip nearly idle (batch-1 GEMMs) and pays
+    the tunnel's fixed per-execute cost per chunk, while a pool amortizes
+    both across N streams (vmap adds a leading batch dim to every stage,
+    including the Pallas kernels).
+
+    Same chunk-step closures and carried-state semantics as PeaqStream /
+    PeaqStreamAdvanced (INIT/tentative aggregates, complex-free pytree);
+    the state simply gains a leading [N] axis, so it remains
+    checkpointable with utils/checkpoint (same STATE_FORMAT_VERSION).
+
+    Lockstep means every feed() advances ALL streams by the same sample
+    count: ref/test are [N, T] or [N, T, CH].  Streams with genuinely
+    different lengths belong in separate pools (or pad the short ones
+    and read current() before their tails — validity gating is per
+    accumulated frame, exactly as in the scalar classes).
+    """
+
+    def __init__(self, n_streams: int, channels: int = 2,
+                 chunk_frames: int = 64, playback_level: float = 92.0,
+                 settings: C.Settings = C.DEFAULT_SETTINGS,
+                 dtype: str | None = None, advanced: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        from .. import api
+        dtype = dtype or api.default_dtype()
+        self._n = n_streams
+        self._channels = channels
+        self._advanced = advanced
+        vm = functools.partial(jax.vmap, in_axes=(None, 0, 0, 0))
+        if advanced:
+            (init_state, fft_step, fb_step, read_movs,
+             consts) = _make_advanced_chunk_steps(playback_level, settings,
+                                                  dtype)
+            jfft, jfb = jax.jit(vm(fft_step)), jax.jit(vm(fb_step))
+            self._steps = (lambda *a: jfft(consts, *a),
+                           lambda *a: jfb(consts, *a))
+            self._fft_chunk = chunk_frames * C.FFT_STEPSIZE
+            self._fb_samples = chunk_frames * 16 * C.FB_FRAMESIZE
+            self._mov_names = C.MOV_ADVANCED_NAMES
+        else:
+            (init_state, chunk_step, read_movs,
+             consts) = _make_basic_chunk_step(playback_level, settings,
+                                              dtype)
+            jstep = jax.jit(vm(chunk_step))
+            self._steps = (lambda *a: jstep(consts, *a),)
+            self._fft_chunk = chunk_frames * C.FFT_STEPSIZE
+            self._fb_samples = None
+            self._mov_names = C.MOV_BASIC_NAMES
+        one = init_state(channels)
+        # broadcast-COPY the scalar initial state to [N, ...]: init values
+        # are not all zero (NaN-primed warmup windows), so no jnp.zeros
+        self.state = jax.tree.map(
+            lambda x: jnp.tile(jnp.asarray(x)[None],
+                               (n_streams,) + (1,) * jnp.ndim(x)), one)
+        self._read = jax.jit(jax.vmap(read_movs))
+        self._buf = [np.zeros((n_streams, 0, channels), np.float32)
+                     for _ in range(2 if not advanced else 4)]
+        self._finalized = False
+
+    def _as3(self, x) -> np.ndarray:
+        x = np.asarray(x, np.float32)
+        if x.ndim == 2:
+            x = x[:, :, None]
+        assert x.shape[0] == self._n and x.shape[2] == self._channels, \
+            x.shape
+        return x
+
+    def feed(self, ref, test) -> None:
+        assert not self._finalized
+        r, t = self._as3(ref), self._as3(test)
+        if self._advanced:
+            self._buf = [np.concatenate([b, x], axis=1)
+                         for b, x in zip(self._buf, (r, t, r, t))]
+        else:
+            self._buf = [np.concatenate([b, x], axis=1)
+                         for b, x in zip(self._buf, (r, t))]
+        self._drain()
+
+    @staticmethod
+    def _cm3(x: np.ndarray) -> np.ndarray:
+        """[N, T, CH] -> contiguous [N, CH, T]."""
+        return np.ascontiguousarray(np.swapaxes(x, 1, 2))
+
+    def _drain(self) -> None:
+        need = self._fft_chunk + C.FFT_STEPSIZE
+        step = self._steps[0]
+        while self._buf[0].shape[1] >= need:
+            self.state = step(self.state, self._cm3(self._buf[0][:, :need]),
+                              self._cm3(self._buf[1][:, :need]))
+            self._buf[0] = self._buf[0][:, self._fft_chunk:]
+            self._buf[1] = self._buf[1][:, self._fft_chunk:]
+        if not self._advanced:
+            return
+        fb = self._steps[1]
+        while self._buf[2].shape[1] >= self._fb_samples:
+            self.state = fb(
+                self.state,
+                self._cm3(self._buf[2][:, :self._fb_samples]),
+                self._cm3(self._buf[3][:, :self._fb_samples]))
+            self._buf[2] = self._buf[2][:, self._fb_samples:]
+            self._buf[3] = self._buf[3][:, self._fb_samples:]
+
+    def current(self) -> PoolResult:
+        movs, di, odg = self._read(self.state)
+        movs = np.asarray(movs)                      # [N, M]
+        return PoolResult(
+            odg=np.asarray(odg), di=np.asarray(di),
+            movs={n: movs[:, i] for i, n in enumerate(self._mov_names)})
+
+    def _flush(self, ib: int, step, frame: int, hop: int) -> None:
+        from ..ops import framing
+        t_len = self._buf[ib].shape[1]
+        n_rest = framing.num_frames(t_len, t_len, frame, hop)
+        if n_rest > 0:
+            length = framing.padded_length(n_rest, frame, hop)
+            pad = [(0, 0), (0, max(0, length - t_len)), (0, 0)]
+            r = np.pad(self._buf[ib], pad)[:, :length]
+            t = np.pad(self._buf[ib + 1], pad)[:, :length]
+            self.state = step(self.state, self._cm3(r), self._cm3(t))
+        empty = self._buf[ib][:, :0]
+        self._buf[ib] = empty
+        self._buf[ib + 1] = empty.copy()
+
+    def finalize(self) -> PoolResult:
+        """Process remaining full frames + the zero-padded flush frame
+        (lockstep: every stream flushes at the same boundary)."""
+        if not self._finalized:
+            self._flush(0, self._steps[0], C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+            if self._advanced:
+                self._flush(2, self._steps[1], C.FB_FRAMESIZE,
+                            C.FB_FRAMESIZE)
+            self._finalized = True
+        return self.current()

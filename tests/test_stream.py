@@ -182,3 +182,58 @@ def test_stream_f32_with_pallas_kernels(monkeypatch):
     res = s.finalize()
     api._jitted_basic.cache_clear()
     assert abs(res.odg - want.odg) < 5e-4, (res.odg, want.odg)
+
+
+def test_stream_pool_equals_scalar_streams():
+    """PeaqStreamPool (N lockstep streams, one vmapped program) matches N
+    independent PeaqStream runs bit-for-bit on CPU, basic mode."""
+    from gstpeaq_tpu.parallel.stream import PeaqStreamPool
+    n = 40 * 1024
+    # refs are all saws: BandwidthRefB only accumulates when the REF has
+    # content past ~8.1 kHz (src/movs.c:775-809) — a triangle's 1/k^2
+    # harmonics never qualify and the ODG is NaN (reference-faithful)
+    sigs = [(TS.saw(n), TS.triangle(n)),
+            (TS.saw(n), TS.triangle(n) * 0.9),
+            (TS.saw(n), 0.5 * TS.saw(n) + 0.5 * TS.triangle(n))]
+    want = []
+    for sa, tr in sigs:
+        s = PeaqStream(channels=1, chunk_frames=16)
+        s.feed(sa, tr)
+        want.append(s.finalize())
+    pool = PeaqStreamPool(3, channels=1, chunk_frames=16)
+    refs = np.stack([sa for sa, _ in sigs])
+    tests = np.stack([tr for _, tr in sigs])
+    # two lockstep feeds with a ragged boundary
+    cut = 17_321
+    pool.feed(refs[:, :cut], tests[:, :cut])
+    pool.feed(refs[:, cut:], tests[:, cut:])
+    got = pool.finalize()
+    for i, w in enumerate(want):
+        assert abs(got.odg[i] - w.odg) < 1e-10, (i, got.odg[i], w.odg)
+        for name in C.MOV_BASIC_NAMES:
+            assert abs(got.movs[name][i] - w.movs[name]) \
+                <= 1e-8 * (1 + abs(w.movs[name])), name
+
+
+@pytest.mark.slow
+def test_stream_pool_advanced_equals_scalar():
+    """Advanced pool (dual-rate vmapped steps) matches the scalar
+    advanced stream per stream."""
+    from gstpeaq_tpu.parallel.stream import PeaqStreamPool
+    n = 40 * 1024
+    sigs = [(TS.saw(n), TS.triangle(n)),
+            (TS.saw(n), TS.triangle(n) * 0.9)]
+    want = []
+    for sa, tr in sigs:
+        s = PeaqStreamAdvanced(channels=1, chunk_frames=16)
+        s.feed(sa, tr)
+        want.append(s.finalize())
+    pool = PeaqStreamPool(2, channels=1, chunk_frames=16, advanced=True)
+    pool.feed(np.stack([sa for sa, _ in sigs]),
+              np.stack([tr for _, tr in sigs]))
+    got = pool.finalize()
+    for i, w in enumerate(want):
+        assert abs(got.odg[i] - w.odg) < 1e-10, (i, got.odg[i], w.odg)
+        for name in C.MOV_ADVANCED_NAMES:
+            assert abs(got.movs[name][i] - w.movs[name]) \
+                <= 1e-8 * (1 + abs(w.movs[name])), name

@@ -2,8 +2,12 @@
 
 The BASELINE "Long-form streaming" configuration: a long stereo program
 processed through PeaqStream in chunks with carried device state.
+With --streams N > 1 the same program length runs as N concurrent
+lockstep streams through PeaqStreamPool (one vmapped chunk program) —
+the production serving shape; reported throughput is aggregate.
 
-  python tools/longform_bench.py [--minutes 60] [--advanced] [--chunk 256]
+  python tools/longform_bench.py [--minutes 60] [--advanced]
+                                 [--chunk 1024] [--streams N]
 """
 
 import argparse
@@ -19,8 +23,12 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--minutes", type=float, default=60.0)
     parser.add_argument("--advanced", action="store_true")
-    parser.add_argument("--chunk", type=int, default=256,
-                        help="chunk size in FFT frames")
+    parser.add_argument("--chunk", type=int, default=1024,
+                        help="chunk size in FFT frames (bigger chunks = "
+                        "fewer tunnel round trips; per-op cost on this "
+                        "backend grows with process op count)")
+    parser.add_argument("--streams", type=int, default=1,
+                        help="concurrent lockstep streams (PeaqStreamPool)")
     parser.add_argument("--precision", default=None)
     args = parser.parse_args()
 
@@ -33,55 +41,87 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from gstpeaq_tpu.parallel.stream import PeaqStream, PeaqStreamAdvanced
+    from gstpeaq_tpu.parallel.stream import (PeaqStream, PeaqStreamAdvanced,
+                                             PeaqStreamPool)
 
-    cls = PeaqStreamAdvanced if args.advanced else PeaqStream
-    stream = cls(channels=2, chunk_frames=args.chunk,
-                 dtype=args.precision)
+    ns = args.streams
+    if ns > 1:
+        stream = PeaqStreamPool(ns, channels=2, chunk_frames=args.chunk,
+                                dtype=args.precision, advanced=args.advanced)
+    else:
+        cls = PeaqStreamAdvanced if args.advanced else PeaqStream
+        stream = cls(channels=2, chunk_frames=args.chunk,
+                     dtype=args.precision)
 
     total = int(args.minutes * 60 * 48000)
     feed = 48000 * 10  # 10 s host chunks
-    t = np.arange(feed) / 48000.0
     rng = np.random.default_rng(0)
+
+    # Synthesize the program ONCE (a 30 s base that tiles with continuous
+    # phase: f0 = 331 Hz and the 4 Hz AM both complete integer cycles in
+    # 30 s), then feed slices of it.  Synthesizing per feed (~45 numpy
+    # sine passes over 480k samples) cost ~1.1 s per 10 s feed on this
+    # 1-core host — a ~9x-realtime ceiling that benchmarked numpy sin,
+    # not the streaming pipeline.  Harmonic-rich to ~15 kHz: the
+    # BandwidthRef MOV only accumulates frames whose reference bandwidth
+    # exceeds bin 346 (~8.1 kHz, src/movs.c:775-809); a band-limited tone
+    # over a noise floor never qualifies and the ODG is NaN (faithful to
+    # the reference's 0/0).
+    base_n = 48000 * 30
+    tt = np.arange(base_n) / 48000.0
+    f0 = 331.0
+    ref_b = np.zeros(base_n)
+    test_b = np.zeros(base_n)
+    k = 1
+    while k * f0 < 15000.0:
+        tone = np.sin(2 * np.pi * k * f0 * tt + 0.3 * k) / k
+        ref_b += tone
+        if k * f0 < 10000.0:   # codec-like lowpass on the test signal
+            test_b += tone
+        k += 1
+    am = 1.0 + 0.3 * np.sin(2 * np.pi * 4.0 * tt)
+    ref_b = (0.5 * ref_b * am).astype(np.float32)
+    test_b = (0.485 * test_b * am).astype(np.float32)
 
     t0 = time.time()
     done = 0
-    f0 = 331.0
     while done < total:
         n = min(feed, total - done)
-        tt = t[:n] + done / 48000.0
-        # harmonic-rich program with energy to ~15 kHz: the BandwidthRef
-        # MOV only accumulates frames whose reference bandwidth exceeds
-        # bin 346 (~8.1 kHz, src/movs.c:775-809); a band-limited tone over
-        # a white noise floor never qualifies, the accumulator stays
-        # empty, and — faithfully to the reference's 0/0 — the ODG is NaN
-        ref1 = np.zeros(n)
-        test1 = np.zeros(n)
-        k = 1
-        while k * f0 < 15000.0:
-            tone = np.sin(2 * np.pi * k * f0 * tt + 0.3 * k) / k
-            ref1 += tone
-            if k * f0 < 10000.0:   # codec-like lowpass on the test signal
-                test1 += tone
-            k += 1
-        am = 1.0 + 0.3 * np.sin(2 * np.pi * 4.0 * tt)
-        ref1 = (0.5 * ref1 * am).astype(np.float32)
-        test1 = (0.485 * test1 * am
-                 + 1e-4 * rng.standard_normal(n)).astype(np.float32)
-        ref = np.stack([ref1, ref1], 1)
-        test = np.stack([test1, test1], 1)
+        off = done % base_n          # feed divides base_n: no wrap
+        ref1 = ref_b[off:off + n]
+        test1 = test_b[off:off + n] + (1e-4 * rng.standard_normal(n)
+                                       ).astype(np.float32)
+        if ns > 1:
+            # [N, T, CH]: same program per stream, distinct noise floors
+            noise = (1e-4 * rng.standard_normal((ns - 1, n))
+                     ).astype(np.float32)
+            tests1 = np.concatenate(
+                [test1[None], test_b[off:off + n][None] + noise])
+            ref = np.broadcast_to(ref1[None, :, None], (ns, n, 2))
+            test = np.repeat(tests1[:, :, None], 2, axis=2)
+        else:
+            ref = np.stack([ref1, ref1], 1)
+            test = np.stack([test1, test1], 1)
         stream.feed(ref, test)
         done += n
         if done % (feed * 30) == 0:
             cur = stream.current()
+            odg = cur.odg if ns == 1 else float(np.median(cur.odg))
             el = time.time() - t0
-            print(f"# {done/48000:.0f}s fed, {done/48000/el:.1f}x realtime, "
-                  f"running ODG {cur.odg:.3f}", file=sys.stderr, flush=True)
+            print(f"# {done/48000:.0f}s fed, "
+                  f"{ns * done/48000/el:.1f}x realtime aggregate, "
+                  f"running ODG {odg:.3f}", file=sys.stderr, flush=True)
     res = stream.finalize()
     dt = time.time() - t0
-    print(f"processed {total/48000:.0f} audio-sec in {dt:.1f}s "
-          f"({total/48000/dt:.1f}x realtime, single stream)")
-    print(f"ODG {res.odg:.3f}  DI {res.di:.3f}")
+    agg = ns * total / 48000
+    print(f"processed {agg:.0f} audio-sec in {dt:.1f}s "
+          f"({agg/dt:.1f}x realtime aggregate = {agg/dt:.0f} audio-sec/s, "
+          f"{ns} stream{'s' if ns > 1 else ''})")
+    if ns > 1:
+        print(f"ODG median {np.median(res.odg):.3f} "
+              f"min {res.odg.min():.3f} max {res.odg.max():.3f}")
+    else:
+        print(f"ODG {res.odg:.3f}  DI {res.di:.3f}")
     return 0
 
 
