@@ -41,6 +41,18 @@ def _cm(x: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(x.T)
 
 
+def _cat_ship(buf: np.ndarray, new: np.ndarray) -> np.ndarray:
+    """Append to a stream buffer, letting an EMPTY buffer adopt the
+    incoming dtype (int16 PCM ships raw and dequantizes on device —
+    framing.dequantize — halving the per-chunk transfer that bounds
+    streaming end to end on the tunneled backend).  Mixing dtypes
+    mid-stream upcasts to float32, which would silently double the
+    ship bytes again — keep a stream's feeds one dtype."""
+    if buf.shape[-2] == 0 and buf.dtype != new.dtype:
+        buf = buf.astype(new.dtype)
+    return np.concatenate([buf, new], axis=-2)
+
+
 # ---------------------------------------------------------------------------
 # Device-side chunk step (basic version)
 # ---------------------------------------------------------------------------
@@ -94,8 +106,12 @@ def _make_basic_chunk_step(playback_level: float, settings: C.Settings,
         }
 
     def chunk_step(consts, state, ref_sig, test_sig):
-        """Process one chunk.  ref/test_sig: [CH, (Fc+1)*1024] float32
-        (channel-major, the device layout)."""
+        """Process one chunk.  ref/test_sig: [CH, (Fc+1)*1024] float32 —
+        or int16 PCM, dequantized on DEVICE (channel-major layout);
+        shipping int16 halves the per-chunk transfer, which bounds
+        streaming end to end on the tunneled backend."""
+        ref_sig = framing.dequantize(ref_sig)
+        test_sig = framing.dequantize(test_sig)
         k, avg_matrix = consts
         n_frames = ref_sig.shape[-1] // C.FFT_STEPSIZE - 1
         ref_blocks = framing.blocks_hop(ref_sig, n_frames)
@@ -380,7 +396,10 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
 
     def fft_chunk_step(consts, state, ref_sig, test_sig):
         """FFT path chunk: SegmentalNMR + EHS.
-        ref/test_sig: [CH, (Fc+1)*1024] channel-major."""
+        ref/test_sig: [CH, (Fc+1)*1024] channel-major (f32 or PCM16,
+        dequantized on device)."""
+        ref_sig = framing.dequantize(ref_sig)
+        test_sig = framing.dequantize(test_sig)
         kf, kb, avg_matrix = consts
         n_frames = ref_sig.shape[-1] // C.FFT_STEPSIZE - 1
         ref_blocks = framing.blocks_hop(ref_sig, n_frames)
@@ -434,7 +453,10 @@ def _make_advanced_chunk_steps(playback_level: float, settings: C.Settings,
 
     def fb_chunk_step(consts, state, ref_sig, test_sig):
         """FB path chunk: RmsModDiffA / RmsNoiseLoudAsymA / AvgLinDistA.
-        ref/test_sig: [CH, Fc*192] channel-major."""
+        ref/test_sig: [CH, Fc*192] channel-major (f32 or PCM16,
+        dequantized on device)."""
+        ref_sig = framing.dequantize(ref_sig)
+        test_sig = framing.dequantize(test_sig)
         kf, kb, avg_matrix = consts
         n_fb = ref_sig.shape[-1] // C.FB_FRAMESIZE
         above = framing.above_threshold_signal(
@@ -583,11 +605,11 @@ class PeaqStream:
         self._finalized = False
 
     def feed(self, ref: np.ndarray, test: np.ndarray) -> None:
-        from .. import api
+        from .batch import as_2d_ship
         assert not self._finalized
-        self._buf_ref = np.concatenate([self._buf_ref, api._as_2d_f32(ref)])
-        self._buf_test = np.concatenate([self._buf_test,
-                                         api._as_2d_f32(test)])
+        r, t = as_2d_ship(ref), as_2d_ship(test)   # int16 ships raw
+        self._buf_ref = _cat_ship(self._buf_ref, r)
+        self._buf_test = _cat_ship(self._buf_test, t)
         self._drain()
 
     def _drain(self) -> None:
@@ -658,13 +680,13 @@ class PeaqStreamAdvanced:
         self._finalized = False
 
     def feed(self, ref, test) -> None:
-        from .. import api
+        from .batch import as_2d_ship
         assert not self._finalized
-        r, t = api._as_2d_f32(ref), api._as_2d_f32(test)
-        self._fft_buf = [np.concatenate([self._fft_buf[0], r]),
-                         np.concatenate([self._fft_buf[1], t])]
-        self._fb_buf = [np.concatenate([self._fb_buf[0], r]),
-                        np.concatenate([self._fb_buf[1], t])]
+        r, t = as_2d_ship(ref), as_2d_ship(test)   # int16 ships raw
+        self._fft_buf = [_cat_ship(self._fft_buf[0], r),
+                         _cat_ship(self._fft_buf[1], t)]
+        self._fb_buf = [_cat_ship(self._fb_buf[0], r),
+                        _cat_ship(self._fb_buf[1], t)]
         self._drain()
 
     def _drain(self) -> None:
@@ -794,7 +816,9 @@ class PeaqStreamPool:
         self._finalized = False
 
     def _as3(self, x) -> np.ndarray:
-        x = np.asarray(x, np.float32)
+        x = np.asarray(x)
+        if x.dtype != np.int16:                 # int16 PCM ships raw
+            x = x.astype(np.float32, copy=False)
         if x.ndim == 2:
             x = x[:, :, None]
         assert x.shape[0] == self._n and x.shape[2] == self._channels, \
@@ -805,10 +829,10 @@ class PeaqStreamPool:
         assert not self._finalized
         r, t = self._as3(ref), self._as3(test)
         if self._advanced:
-            self._buf = [np.concatenate([b, x], axis=1)
+            self._buf = [_cat_ship(b, x)
                          for b, x in zip(self._buf, (r, t, r, t))]
         else:
-            self._buf = [np.concatenate([b, x], axis=1)
+            self._buf = [_cat_ship(b, x)
                          for b, x in zip(self._buf, (r, t))]
         self._drain()
 
@@ -817,12 +841,19 @@ class PeaqStreamPool:
         """[N, T, CH] -> contiguous [N, CH, T]."""
         return np.ascontiguousarray(np.swapaxes(x, 1, 2))
 
+    def _ship(self, x: np.ndarray):
+        """Chunk operand to device: explicit put (the implicit jit-arg
+        path transfers at ~0.04 GB/s on the tunneled backend; pool
+        chunks are tens of MB, where the explicit path wins)."""
+        import jax
+        return jax.device_put(self._cm3(x))
+
     def _drain(self) -> None:
         need = self._fft_chunk + C.FFT_STEPSIZE
         step = self._steps[0]
         while self._buf[0].shape[1] >= need:
-            self.state = step(self.state, self._cm3(self._buf[0][:, :need]),
-                              self._cm3(self._buf[1][:, :need]))
+            self.state = step(self.state, self._ship(self._buf[0][:, :need]),
+                              self._ship(self._buf[1][:, :need]))
             self._buf[0] = self._buf[0][:, self._fft_chunk:]
             self._buf[1] = self._buf[1][:, self._fft_chunk:]
         if not self._advanced:
@@ -831,8 +862,8 @@ class PeaqStreamPool:
         while self._buf[2].shape[1] >= self._fb_samples:
             self.state = fb(
                 self.state,
-                self._cm3(self._buf[2][:, :self._fb_samples]),
-                self._cm3(self._buf[3][:, :self._fb_samples]))
+                self._ship(self._buf[2][:, :self._fb_samples]),
+                self._ship(self._buf[3][:, :self._fb_samples]))
             self._buf[2] = self._buf[2][:, self._fb_samples:]
             self._buf[3] = self._buf[3][:, self._fb_samples:]
 
@@ -852,7 +883,7 @@ class PeaqStreamPool:
             pad = [(0, 0), (0, max(0, length - t_len)), (0, 0)]
             r = np.pad(self._buf[ib], pad)[:, :length]
             t = np.pad(self._buf[ib + 1], pad)[:, :length]
-            self.state = step(self.state, self._cm3(r), self._cm3(t))
+            self.state = step(self.state, self._ship(r), self._ship(t))
         empty = self._buf[ib][:, :0]
         self._buf[ib] = empty
         self._buf[ib + 1] = empty.copy()

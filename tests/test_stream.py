@@ -237,3 +237,25 @@ def test_stream_pool_advanced_equals_scalar():
         for name in C.MOV_ADVANCED_NAMES:
             assert abs(got.movs[name][i] - w.movs[name]) \
                 <= 1e-8 * (1 + abs(w.movs[name])), name
+
+
+def test_stream_pcm16_feed_bit_exact():
+    """int16 PCM feeds ship raw and dequantize on DEVICE
+    (framing.dequantize); /32768 is a power of two, so the result is
+    bit-identical to feeding x/32768 as float32."""
+    n = 40 * 1024
+    rng = np.random.default_rng(7)
+    ri = (rng.integers(-2000, 2000, n) * 8).astype(np.int16)
+    ti = (ri * 0.9).astype(np.int16)
+    s_i = PeaqStream(channels=1, chunk_frames=16)
+    s_i.feed(ri, ti)
+    got = s_i.finalize()
+    s_f = PeaqStream(channels=1, chunk_frames=16)
+    s_f.feed(ri.astype(np.float32) / 32768.0, ti.astype(np.float32) / 32768.0)
+    want = s_f.finalize()
+    for name in C.MOV_BASIC_NAMES:
+        w, g = want.movs[name], got.movs[name]
+        if np.isnan(w):
+            assert np.isnan(g), name
+        else:
+            assert g == w, (name, g, w)

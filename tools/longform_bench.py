@@ -29,6 +29,10 @@ def main() -> int:
                         "backend grows with process op count)")
     parser.add_argument("--streams", type=int, default=1,
                         help="concurrent lockstep streams (PeaqStreamPool)")
+    parser.add_argument("--pcm16", action="store_true",
+                        help="feed int16 PCM (dequantized on device): "
+                        "halves the per-chunk transfer, which bounds "
+                        "streaming end to end on this backend")
     parser.add_argument("--precision", default=None)
     args = parser.parse_args()
 
@@ -102,6 +106,10 @@ def main() -> int:
         else:
             ref = np.stack([ref1, ref1], 1)
             test = np.stack([test1, test1], 1)
+        if args.pcm16:
+            q = lambda x: np.clip(np.round(x.astype(np.float64) * 32768.0),
+                                  -32768, 32767).astype(np.int16)
+            ref, test = q(ref), q(test)
         stream.feed(ref, test)
         done += n
         if done % (feed * 30) == 0:
