@@ -770,12 +770,20 @@ class PeaqStreamPool:
     different lengths belong in separate pools (or pad the short ones
     and read current() before their tails — validity gating is per
     accumulated frame, exactly as in the scalar classes).
+
+    `mesh`: an optional jax.sharding.Mesh — the stream axis shards over
+    its first axis (pure data parallelism: streams are independent, so
+    XLA partitions every stage locally with no metric-path collectives,
+    exactly like the codec-sweep sharding in parallel/shard.py).  State,
+    chunk operands, and reads all carry the sharding; n_streams must be
+    a multiple of the mesh size.
     """
 
     def __init__(self, n_streams: int, channels: int = 2,
                  chunk_frames: int = 64, playback_level: float = 92.0,
                  settings: C.Settings = C.DEFAULT_SETTINGS,
-                 dtype: str | None = None, advanced: bool = False):
+                 dtype: str | None = None, advanced: bool = False,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -804,12 +812,28 @@ class PeaqStreamPool:
             self._fft_chunk = chunk_frames * C.FFT_STEPSIZE
             self._fb_samples = None
             self._mov_names = C.MOV_BASIC_NAMES
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            assert n_streams % mesh.devices.size == 0, \
+                (n_streams, mesh.devices.size)
+            axis = mesh.axis_names[0]
+
+            def _put(x):
+                spec = P(axis, *([None] * (np.ndim(x) - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+            self._put = _put
+        else:
+            self._put = None
         one = init_state(channels)
         # broadcast-COPY the scalar initial state to [N, ...]: init values
         # are not all zero (NaN-primed warmup windows), so no jnp.zeros
         self.state = jax.tree.map(
             lambda x: jnp.tile(jnp.asarray(x)[None],
                                (n_streams,) + (1,) * jnp.ndim(x)), one)
+        if self._put is not None:
+            self.state = jax.tree.map(lambda x: self._put(np.asarray(x)),
+                                      self.state)
         self._read = jax.jit(jax.vmap(read_movs))
         self._buf = [np.zeros((n_streams, 0, channels), np.float32)
                      for _ in range(2 if not advanced else 4)]
@@ -844,9 +868,11 @@ class PeaqStreamPool:
     def _ship(self, x: np.ndarray):
         """Chunk operand to device: explicit put (the implicit jit-arg
         path transfers at ~0.04 GB/s on the tunneled backend; pool
-        chunks are tens of MB, where the explicit path wins)."""
+        chunks are tens of MB, where the explicit path wins).  With a
+        mesh, the put shards the stream axis directly."""
         import jax
-        return jax.device_put(self._cm3(x))
+        cm = self._cm3(x)
+        return self._put(cm) if self._put is not None else jax.device_put(cm)
 
     def _drain(self) -> None:
         need = self._fft_chunk + C.FFT_STEPSIZE

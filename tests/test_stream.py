@@ -259,3 +259,26 @@ def test_stream_pcm16_feed_bit_exact():
             assert np.isnan(g), name
         else:
             assert g == w, (name, g, w)
+
+
+def test_stream_pool_sharded_equals_unsharded():
+    """PeaqStreamPool over the 8-device CPU mesh (stream-axis data
+    parallelism) matches the unsharded pool exactly."""
+    from gstpeaq_tpu.parallel import shard as S
+    from gstpeaq_tpu.parallel.stream import PeaqStreamPool
+    n = 40 * 1024
+    refs = np.stack([TS.saw(n), TS.saw(n) * 0.8] * 4)
+    tests = np.stack([TS.triangle(n), TS.triangle(n) * 0.7] * 4)
+    plain = PeaqStreamPool(8, channels=1, chunk_frames=16)
+    plain.feed(refs, tests)
+    want = plain.finalize()
+    mesh = S.default_mesh()
+    pool = PeaqStreamPool(8, channels=1, chunk_frames=16, mesh=mesh)
+    pool.feed(refs, tests)
+    got = pool.finalize()
+    # per-shard codegen reassociates reductions at the ULP level (the
+    # parallel/shard tests gate ODG the same way), so not array_equal
+    np.testing.assert_allclose(got.odg, want.odg, atol=1e-12)
+    for name in C.MOV_BASIC_NAMES:
+        np.testing.assert_allclose(got.movs[name], want.movs[name],
+                                   rtol=1e-9)

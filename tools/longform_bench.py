@@ -19,6 +19,66 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
+def device_source_bench(pool, args, ref_b, test_b, total) -> int:
+    """Carried-state device streaming rate: stage ONE chunk pair per
+    path (fft / fb) on device, then advance the pool's vmapped chunk
+    steps back to back with the state pytree carried on device.  The
+    repeated chunk makes the running ODG meaningless as a quality
+    number but exercises exactly the production program sequence."""
+    import jax
+
+    from gstpeaq_tpu import constants as C
+    from gstpeaq_tpu.parallel.stream import PeaqStreamPool
+
+    assert isinstance(pool, PeaqStreamPool), "--device-source needs --streams>1"
+    ns = args.streams
+    rng = np.random.default_rng(1)
+
+    def chunk(n_samp):
+        reps = -(-n_samp // ref_b.shape[0])
+        r1 = np.tile(ref_b, reps)[:n_samp]
+        t1 = (np.tile(test_b, reps)[:n_samp]
+              + (1e-4 * rng.standard_normal(n_samp)).astype(np.float32))
+        r = np.broadcast_to(r1, (ns, 2, n_samp))      # [N, CH, T]
+        t = np.broadcast_to(t1, (ns, 2, n_samp))
+        if args.pcm16:
+            q = lambda x: np.clip(np.round(x.astype(np.float64) * 32768.0),
+                                  -32768, 32767).astype(np.int16)
+            r, t = q(r), q(t)
+        return jax.device_put(np.ascontiguousarray(r)), \
+            jax.device_put(np.ascontiguousarray(t))
+
+    fft_stride = args.chunk * C.FFT_STEPSIZE
+    fft_op = (pool._steps[0], chunk(fft_stride + C.FFT_STEPSIZE))
+    ops = [fft_op]
+    if args.advanced:
+        # the fb path consumes 3x the fft stride per step (192*16 vs
+        # 1024 samples per "chunk frame"): 3 fft steps per fb step keeps
+        # both paths at the same audio clock, as the real drain does
+        assert pool._fb_samples == 3 * fft_stride
+        ops = [fft_op, fft_op, fft_op,
+               (pool._steps[1], chunk(pool._fb_samples))]
+    state = pool.state
+    # warm the programs (compile + first-execute stall) outside the clock
+    for step, (r, t) in ops:
+        state = step(state, r, t)
+    np.asarray(jax.tree.leaves(state)[0])
+    stride = fft_stride * (3 if args.advanced else 1)
+    t0 = time.time()
+    done = 0
+    while done < total:
+        for step, (r, t) in ops:
+            state = step(state, r, t)
+        done += stride
+    np.asarray(jax.tree.leaves(state)[0])  # host sync
+    dt = time.time() - t0
+    agg = ns * done / 48000
+    print(f"device-source: {agg:.0f} audio-sec in {dt:.1f}s "
+          f"({agg/dt:.0f} audio-sec/s aggregate, {ns} streams, "
+          f"carried state, transfers excluded)")
+    return 0
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--minutes", type=float, default=60.0)
@@ -33,6 +93,14 @@ def main() -> int:
                         help="feed int16 PCM (dequantized on device): "
                         "halves the per-chunk transfer, which bounds "
                         "streaming end to end on this backend")
+    parser.add_argument("--device-source", action="store_true",
+                        help="stage ONE chunk pair on device and drive "
+                        "the chunk steps directly: measures the carried-"
+                        "state DEVICE streaming rate with host->device "
+                        "transfers excluded (on this tunneled backend "
+                        "the end-to-end rate is transfer-bound; on a "
+                        "real TPU host feeds ride PCIe/DMA and the pool "
+                        "approaches this number)")
     parser.add_argument("--precision", default=None)
     args = parser.parse_args()
 
@@ -86,6 +154,9 @@ def main() -> int:
     am = 1.0 + 0.3 * np.sin(2 * np.pi * 4.0 * tt)
     ref_b = (0.5 * ref_b * am).astype(np.float32)
     test_b = (0.485 * test_b * am).astype(np.float32)
+
+    if args.device_source:
+        return device_source_bench(stream, args, ref_b, test_b, total)
 
     t0 = time.time()
     done = 0
