@@ -205,6 +205,14 @@ def main() -> None:
          dict(advanced=False, batch=batch, seconds=seconds,
               dtype="accurate" if on_tpu else "float64", iters=2,
               microbatch=32, repeats=3)),
+        # advanced accurate tier (VERDICT r04 #3): the tier's advanced
+        # drift is 5.1e-4 (docs/precision.md) — its speed must be on the
+        # record too, so all four north-star numbers ship every round
+        (f"audio-seconds/sec/chip (advanced PEAQ, accurate tier, "
+         f"batch {batch})",
+         dict(advanced=True, batch=batch, seconds=seconds,
+              dtype="accurate" if on_tpu else "float64", iters=2,
+              microbatch=16, repeats=3)),
     ]:
         try:
             rates, err = bench_safe(**kwargs)

@@ -99,13 +99,13 @@ jax.tree_util.register_pytree_node(
     FFTEarConsts, _fft_consts_flatten, _fft_consts_unflatten)
 
 
-# Cooley-Tukey rDFT dispatch: None (default) = OFF for the plain GEMM
-# tiers (the round-3 on-chip A/B measured CT -23% basic end to end; see
-# build_consts below), ON for the `accurate` tier, which is DEFINED by
-# the CT-at-HIGHEST spectra.  GSTPEAQ_CT_DFT=1 forces CT back on for
-# the plain tiers (A/B); GSTPEAQ_CT_DFT=0 is a no-op for `accurate`
-# (there is deliberately no kill switch — disabling CT there would
-# silently change the tier's accuracy contract).
+# Cooley-Tukey rDFT dispatch: OFF for EVERY tier since the r4 on-chip
+# drift + throughput runs (docs/precision.md) — the `accurate` tier is
+# the DENSE rDFT with all front-end GEMMs at HIGHEST, which measured
+# both faster and ~14x more accurate than CT-at-HIGHEST, and CT at HIGH
+# was -23% basic / -14% advanced.  GSTPEAQ_CT_DFT=1 forces CT back on
+# (A/B only); unset/0 leaves it off.  See build_consts below for the
+# measured numbers.
 USE_CT_DFT = {"1": True, "0": False}.get(
     os.environ.get("GSTPEAQ_CT_DFT", ""), None)
 
@@ -135,8 +135,9 @@ def build_consts(params: EP.FFTEarParams, dtype=jnp.float64,
     ALL per-bin constants built here (om_weight, group_matrix rows, EHS
     forward-DFT rows) are permuted to match; spec_bins/group_bin_hi
     become 1024 so the pipelines' bin slices are no-ops, and index-based
-    consumers (bandwidth) read bin_idx.  Default None = follow
-    use_dft_gemm (the GEMM tiers take the factored path)."""
+    consumers (bandwidth) read bin_idx.  Default None = OFF everywhere
+    (measured-and-rejected for every tier, r4 — see the USE_CT_DFT
+    comment above); GSTPEAQ_CT_DFT=1 re-enables it for A/B."""
     spectrum_dtype = spectrum_dtype or dtype
     fs = lambda x: jnp.asarray(x, dtype=spectrum_dtype)
     f = lambda x: jnp.asarray(x, dtype=dtype)

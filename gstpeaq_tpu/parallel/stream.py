@@ -41,15 +41,25 @@ def _cm(x: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(x.T)
 
 
+def _dequant_host(x: np.ndarray) -> np.ndarray:
+    """Host-side twin of framing.dequantize: int16 PCM -> float32 signal."""
+    return (x.astype(np.float32) / 32768.0) if x.dtype == np.int16 else x
+
+
 def _cat_ship(buf: np.ndarray, new: np.ndarray) -> np.ndarray:
     """Append to a stream buffer, letting an EMPTY buffer adopt the
     incoming dtype (int16 PCM ships raw and dequantizes on device —
     framing.dequantize — halving the per-chunk transfer that bounds
     streaming end to end on the tunneled backend).  Mixing dtypes
-    mid-stream upcasts to float32, which would silently double the
-    ship bytes again — keep a stream's feeds one dtype."""
-    if buf.shape[-2] == 0 and buf.dtype != new.dtype:
-        buf = buf.astype(new.dtype)
+    mid-stream falls back to float32 with the int16 side dequantized on
+    HOST (raw-value upcast would be 32768x too loud — device-side
+    dequantize passes float32 through); it costs the ship-byte saving,
+    so keep a stream's feeds one dtype."""
+    if buf.dtype != new.dtype:
+        if buf.shape[-2] == 0:
+            buf = buf.astype(new.dtype)
+        else:
+            buf, new = _dequant_host(buf), _dequant_host(new)
     return np.concatenate([buf, new], axis=-2)
 
 
@@ -852,6 +862,11 @@ class PeaqStreamPool:
     def feed(self, ref, test) -> None:
         assert not self._finalized
         r, t = self._as3(ref), self._as3(test)
+        if r.shape[1] != t.shape[1]:
+            raise ValueError(
+                f"PeaqStreamPool.feed is lockstep: ref and test must carry "
+                f"the same sample count per feed (got {r.shape[1]} vs "
+                f"{t.shape[1]}); use scalar PeaqStream for skewed feeds")
         if self._advanced:
             self._buf = [_cat_ship(b, x)
                          for b, x in zip(self._buf, (r, t, r, t))]

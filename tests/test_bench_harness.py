@@ -31,11 +31,11 @@ def test_bench_safe_retries_with_pallas_disabled(monkeypatch):
         if len(calls) == 1:
             raise RuntimeError("Mosaic failed to lower")
         assert iir.USE_PALLAS is False, "retry must run with kernels off"
-        return 123.0
+        return [123.0, 125.0]
 
     monkeypatch.setattr(bench, "bench", fake_bench)
-    rate, note = bench.bench_safe(advanced=False, batch=8)
-    assert rate == 123.0
+    rates, note = bench.bench_safe(advanced=False, batch=8)
+    assert rates == [123.0, 125.0]
     assert "Mosaic failed to lower" in note
     assert len(calls) == 2 and calls[0] == calls[1]
     assert fb_ear.USE_PALLAS_SPREAD is False
@@ -43,9 +43,11 @@ def test_bench_safe_retries_with_pallas_disabled(monkeypatch):
 
 
 def test_bench_safe_passthrough_on_success(monkeypatch):
-    monkeypatch.setattr(bench, "bench", lambda **kw: 42.0)
-    rate, note = bench.bench_safe(advanced=True)
-    assert rate == 42.0 and note is None
+    # bench() returns a list of per-repeat rates; bench_safe must pass the
+    # list through unchanged (the caller computes min/median/max)
+    monkeypatch.setattr(bench, "bench", lambda **kw: [42.0, 43.0])
+    rates, note = bench.bench_safe(advanced=True)
+    assert rates == [42.0, 43.0] and note is None
 
 
 def test_spread_fields_reports_median_and_extremes():

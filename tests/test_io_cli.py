@@ -168,6 +168,45 @@ def test_conformance_table_regeneration():
     assert "DI mean error (bias): 0.010" in s
 
 
+def test_conformance_run_end_to_end(tmp_path, monkeypatch):
+    """Drive conformance.run() -> report() -> exit-code logic on a synthetic
+    fake dataset: covers the {item} -> {item.replace('cod','ref')} file
+    naming and loader wiring that would otherwise first execute the day the
+    real (proprietary) BS.1387 dataset appears.  Tolerance values are
+    irrelevant — fake audio won't match the blessed DIs."""
+    from gstpeaq_tpu import conformance as CF
+    items = ["acodsna", "bcodtri"]          # real ITU item names
+    n = 48000 * 3 // 5                       # 0.6 s per item, mono
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / 48000.0
+    for i, item in enumerate(items):
+        # MOV validity gates must stay OPEN (CLAUDE.md): the ref needs
+        # content past 8.1 kHz + a dither floor or BandwidthRefB is 0/0=NaN
+        ref = (0.3 * np.sin(2 * np.pi * (440 + 100 * i) * t)
+               + 0.1 * np.sin(2 * np.pi * 3500.0 * t)
+               + 0.03 * np.sin(2 * np.pi * 9200.0 * t)
+               + 2e-5 * rng.standard_normal(n))
+        test = ref + 0.01 * rng.standard_normal(n)
+        # naming convention under test: acodsna -> arefsna.wav + acodsna.wav
+        wavio.write_wav(str(tmp_path / (item.replace("cod", "ref") + ".wav")),
+                        ref.astype(np.float32)[:, None], 48000)
+        wavio.write_wav(str(tmp_path / (item + ".wav")),
+                        test.astype(np.float32)[:, None], 48000)
+    fake_table = {k: CF.CONFORMANCE_BASIC[k] for k in items}
+    monkeypatch.setattr(CF, "CONFORMANCE_BASIC", fake_table)
+    rows = CF.run(advanced=False, directory=str(tmp_path))
+    assert [r.item for r in rows] == items
+    assert all(np.isfinite(r.di) and np.isfinite(r.odg) for r in rows)
+    rep = CF.report(rows)
+    assert "acodsna" in rep and "max |dBlessed|" in rep
+    # main()'s pass/fail gate: synthetic audio must NOT match the blessed DIs
+    assert max(abs(r.delta_blessed) for r in rows) >= 1e-3
+    # absent-dataset path raises (main() maps this to exit code 77)
+    monkeypatch.delenv("CONFORMANCEDATADIR", raising=False)
+    with pytest.raises(FileNotFoundError):
+        CF.run(advanced=False)
+
+
 @pytest.mark.slow
 def test_cli_matches_reference_format(tmp_path):
     ref = TS.saw(64 * 1024)
