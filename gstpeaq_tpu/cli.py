@@ -49,7 +49,8 @@ def main(argv=None) -> int:
     parser.add_argument("--precision",
                         choices=["float32", "float64", "mixed", "accurate"],
                         default=None, help="compute precision (default: "
-                        "float64 on CPU, float32 on TPU)")
+                        "float64 on CPU, accurate on TPU; float32 is the "
+                        "max-throughput opt-in)")
     parser.add_argument("--totalsnr", action="store_true",
                         help="also print the overall SNR in dB (the "
                         "reference's totalsnr element property)")

@@ -59,6 +59,20 @@ def unified_input(pipe, n_fft: int, n_fb: int):
     def wrapped(consts, sig_pair, valid_fft=None, valid_fb=None):
         # PCM16-shipped inputs convert on device (framing.dequantize)
         sig_pair = framing.dequantize(sig_pair)
+        if sig_pair.ndim == 4 and sig_pair.shape[-1] == C.FFT_STEPSIZE:
+            # HOP-layout ship [2, CH, Tq, 1024]: the FFT path's inputs
+            # are row prefixes IN PLACE (the rows are its hop blocks —
+            # the former blocked->flat merge + blocks_hop retile were
+            # ~2.7 ms/iter of pure copy at mb16, r04 profile); the FB
+            # path re-tiles its prefix to 128-blocks in ONE reshape that
+            # fuses into the DC table GEMM's operand format
+            assert t_fb % C.FFT_STEPSIZE == 0
+            rows_fft = t_fft // C.FFT_STEPSIZE
+            fb_pair = sig_pair[..., :t_fb // C.FFT_STEPSIZE, :]
+            return pipe(consts, sig_pair[0, ..., :rows_fft, :],
+                        sig_pair[1, ..., :rows_fft, :],
+                        fb_pair, valid_fft, valid_fb,
+                        thresh_blocked=sig_pair[0])
         if sig_pair.ndim == 4:          # blocked [2, CH, Tb, 128]
             assert t_fb % 128 == 0
             flat = sig_pair.reshape(*sig_pair.shape[:-2], -1)
@@ -111,14 +125,23 @@ def make_pipeline(playback_level: float = 92.0,
                  thresh_blocked=None) -> AdvancedOutputs:
         kf, kb, avg_matrix = consts
         # ------------------ FFT path: SegmentalNMR + EHS ------------------
-        n_fft = ref_fft.shape[-1] // C.FFT_STEPSIZE - 1
-        rblocks = framing.blocks_hop(ref_fft, n_fft)   # [CH,F+1,1024]
-        tblocks = framing.blocks_hop(test_fft, n_fft)
+        if ref_fft.ndim == 3:
+            # HOP-layout ship: the rows ARE the rDFT's hop blocks
+            n_fft = ref_fft.shape[-2] - 1
+            rblocks, tblocks = ref_fft, test_fft       # [CH,F+1,1024]
+        else:
+            n_fft = ref_fft.shape[-1] // C.FFT_STEPSIZE - 1
+            rblocks = framing.blocks_hop(ref_fft, n_fft)  # [CH,F+1,1024]
+            tblocks = framing.blocks_hop(test_fft, n_fft)
+        hop_gate = (thresh_blocked is not None
+                    and thresh_blocked.shape[-1] == C.FFT_STEPSIZE)
         if thresh_blocked is not None:
             # blocked unified input: one sliding-max pass over the ref
             # serves both paths' gates (framing.sliding_max5_blocked)
             max5 = framing.sliding_max5_blocked(thresh_blocked.astype(sdtype))
-            above_fft = framing.fft_gate_from_max5(max5, n_fft)
+            above_fft = (framing.fft_gate_from_max5_hops(max5, n_fft)
+                         if hop_gate else
+                         framing.fft_gate_from_max5(max5, n_fft))
         else:
             above_fft = framing.above_threshold_signal(
                 ref_fft.astype(sdtype), n_fft, C.FFT_FRAMESIZE,
@@ -163,8 +186,21 @@ def make_pipeline(playback_level: float = 92.0,
         # tile-aligned and kills the sublane-2 retile in front of the
         # kernel); the threshold test reads only the ref slice
         fb_blocked = fb_pair.ndim == 4
-        ref_fb = fb_pair[0]
-        if fb_blocked:
+        if fb_blocked and fb_pair.shape[-1] == C.FFT_STEPSIZE:
+            # HOP-layout ship: gate from the shared hop-form max5, then
+            # ONE retile of the FB prefix to the chain's 128-block tiles
+            # (fuses into the DC table GEMM's operand format)
+            n_fb = fb_pair.shape[-2] * C.FFT_STEPSIZE // C.FB_FRAMESIZE
+            if hop_gate:
+                above_fb = framing.fb_gate_from_max5_hops(
+                    max5[..., :fb_pair.shape[-2], :], n_fb)
+            else:
+                above_fb = framing.above_threshold_blocked(
+                    fb_pair[0].astype(sdtype).reshape(
+                        *fb_pair.shape[1:-2], -1, 128), n_fb)
+            fb_pair = fb_pair.reshape(*fb_pair.shape[:-2], -1, 128)
+        elif fb_blocked:
+            ref_fb = fb_pair[0]
             n_fb = ref_fb.shape[-2] * 128 // C.FB_FRAMESIZE
             if thresh_blocked is not None:
                 above_fb = framing.fb_gate_from_max5(
@@ -173,6 +209,7 @@ def make_pipeline(playback_level: float = 92.0,
                 above_fb = framing.above_threshold_blocked(
                     ref_fb.astype(sdtype), n_fb)
         else:
+            ref_fb = fb_pair[0]
             n_fb = ref_fb.shape[-1] // C.FB_FRAMESIZE
             above_fb = framing.above_threshold_signal(
                 ref_fb.astype(sdtype), n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)

@@ -74,7 +74,17 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
         # PCM16-shipped inputs convert on device (framing.dequantize)
         ref_sig = framing.dequantize(ref_sig)
         test_sig = framing.dequantize(test_sig)
-        if ref_sig.ndim == 3:            # blocked [CH, Tb, 128]
+        if ref_sig.ndim == 3 and ref_sig.shape[-1] == C.FFT_STEPSIZE:
+            # HOP-layout ship [CH, F + 1, 1024]: the rows ARE the rDFT's
+            # hop blocks — no blocked->flat merge and no blocks_hop
+            # retile ever runs (those two copies were ~17% of the basic
+            # device time in the r04 advanced-path profile's equivalents)
+            n_frames = ref_sig.shape[-2] - 1
+            above = framing.fft_gate_from_max5_hops(
+                framing.sliding_max5_blocked(ref_sig.astype(sdtype)),
+                n_frames)
+            ref_blocks, test_blocks = ref_sig, test_sig
+        elif ref_sig.ndim == 3:          # blocked [CH, Tb, 128] (streams)
             n_frames = ref_sig.shape[-2] * 128 // C.FFT_STEPSIZE - 1
             above = framing.fft_gate_from_max5(
                 framing.sliding_max5_blocked(ref_sig.astype(sdtype)),
@@ -86,8 +96,9 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
             above = framing.above_threshold_signal(
                 ref_sig.astype(sdtype), n_frames, C.FFT_FRAMESIZE,
                 C.FFT_STEPSIZE)  # [F]
-        ref_blocks = framing.blocks_hop(ref_sig, n_frames)  # [CH,F+1,1024]
-        test_blocks = framing.blocks_hop(test_sig, n_frames)
+        if ref_sig.ndim == 2:
+            ref_blocks = framing.blocks_hop(ref_sig, n_frames)  # [CH,F+1,1024]
+            test_blocks = framing.blocks_hop(test_sig, n_frames)
 
         frame_valid = None
         if valid_frames is not None:

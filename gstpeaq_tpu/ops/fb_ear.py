@@ -45,6 +45,7 @@ class FBEarConsts:
     conv_precision: Any    # MXU precision for the FIR bank conv
     back_mask: Any         # [11]
     back_mask_w: Any       # [2, 6] frame taps (Wa, Wb); _back_mask_blocks
+    back_mask_gemm: Any    # [4, TB, 2 * NF] phase-split frame-sum GEMM rows
     internal_noise: Any
     ear_a: Any
     adapt_a: Any
@@ -78,7 +79,7 @@ _HIST_LEN = 1455 + _KERNEL_OFF          # 1536 = 12 * 128
 
 _FB_LEAF_FIELDS = (
     "h_phase", "h_group_kernels", "back_mask", "back_mask_w",
-    "internal_noise", "ear_a", "adapt_a", "fc",
+    "back_mask_gemm", "internal_noise", "ear_a", "adapt_a", "fc",
     "lower_matrix", "level_factor", "threshold", "excitation_threshold",
     "loudness_factor")
 
@@ -162,6 +163,8 @@ def build_consts(params: EP.FBEarParams, dtype=jnp.float64,
                         else jax.lax.Precision.HIGHEST),
         back_mask=f(params.back_mask),
         back_mask_w=f(_back_mask_blocks(params.back_mask)),
+        back_mask_gemm=f(_back_mask_gemm(_back_mask_blocks(
+            params.back_mask))),
         internal_noise=f(params.internal_noise),
         ear_a=f(params.ear_time_constants),
         adapt_a=f(params.adapt_time_constants),
@@ -185,6 +188,35 @@ def _back_mask_blocks(back_mask: np.ndarray) -> np.ndarray:
     wb = back_mask[5::-1]
     wa = np.concatenate([[0.0], back_mask[10:5:-1]])
     return np.stack([wa, wb])                           # [2, 6]
+
+
+# Back-masking frame-sum GEMM block: the Pallas spread tile is
+# TB = TILE_CONV / 4 = 384 quarter-rate steps = 1536 instants = exactly
+# NF = 256 frames (lcm(4 phases, 6 instants/frame, 128-lane Mosaic tiling)
+# = 1536), so the banded instants->frames tap matrix is BLOCK-DIAGONAL at
+# the kernel's own output-tile granularity — no cross-tile leakage within
+# sb or sa, and the phase-split [4, .., nb, TB] kernel output feeds the
+# contraction with zero-copy operands (see _back_mask_from_pmajor).
+_BM_TB = 384
+_BM_NF = 4 * _BM_TB // 6                                # 256
+
+
+def _back_mask_gemm(w2: np.ndarray) -> np.ndarray:
+    """[4, TB, 2 * NF] weights W with
+    W[p, u, s * NF + f] = w2[1 - s][(4u + p) mod 6] where f = (4u+p) // 6:
+    sb[f] (s = 0, taps Wb) and sa[f] (s = 1, taps Wa) of frame f within a
+    TB-step phase block are sum_u e0_ps[p, u] * W[p, u, .] summed over p —
+    dense MXU rows with 6 live taps per output column (the padding FLOPs
+    are far cheaper than the instant-order unsplit + two full reads of the
+    instant-rate e0 they replace; see _back_mask_from_pmajor)."""
+    wa, wb = w2[0], w2[1]
+    W = np.zeros((4, _BM_TB, 2 * _BM_NF), dtype=w2.dtype)
+    for p in range(4):
+        for u in range(_BM_TB):
+            f, j = divmod(4 * u + p, 6)
+            W[p, u, f] = wb[j]
+            W[p, u, _BM_NF + f] = wa[j]
+    return W
 
 
 def _biquad_feedback(a1: float, a2: float, v: jnp.ndarray, state=None,
@@ -608,27 +640,29 @@ def back_and_forward_masking_t(k: FBEarConsts, e0: jnp.ndarray,
     return excitation, unsmeared
 
 
-def _spread_fused(k: FBEarConsts, hp2: jnp.ndarray, hp2_hist, cu_state):
+def _spread_fused_masked(k: FBEarConsts, hp2: jnp.ndarray, hp2_hist,
+                         cu_state, n_frames: int, mask_state=None,
+                         return_state: bool = False):
     """Raw group convs -> dist_s in the conv layout -> slope recurrence ->
-    Pallas spread_from_conv.  Only the slope drive is ever transposed to
-    the [Z, I] layout in XLA (one array instead of fb_re + fb_im), and the
-    fb de-interleave happens on VMEM tiles inside the kernel.
-    Returns (e0 [.., Z, I], cu_last [.., Z]).
+    Pallas spread_from_conv (PHASE-MAJOR) -> back/forward masking with the
+    frame sums as block-diagonal GEMMs on the phase-split e0 — the
+    instant-order e0 NEVER materializes (the unsplit transpose plus the
+    two full instant-rate reads of the old frame-sum reduce were
+    ~2.7 ms/iter at advanced mb16, r04 hlo profile).
+    Only the slope drive is ever transposed to the [Z, I] layout in XLA
+    (one array instead of fb_re + fb_im); the fb de-interleave happens on
+    VMEM tiles inside the kernel.
+    Returns (excitation, unsmeared) [.., Z, F], cu_last [.., Z], and the
+    masking state (or None).
 
     NOTE (measured, round 3): contracting E0 into the back-masking frame
     sums INSIDE the kernel (a dense [Z, 1536] x [1536, 512] scatter dot
     against static tap weights) LOST ~1.7 ms/iter: with M = Z = 40 the
-    HIGHEST-precision dot runs the MXU at ~31% row utilization, costing
-    ~4 ms against the ~2.5 ms of XLA unsplit + frame-reduce passes it
-    replaced.  The e0 -> XLA frame-sum form below is the faster one.
-    Also rejected (analysis): consuming the kernel's PHASE-SPLIT e0 with
-    XLA-side "frame response" matmuls (combined Wb + shifted-Wa weights
-    over the phase-split lane axis) to skip the instant-order unsplit —
-    the [ti, F] weight matrix is banded with ~2 live taps per column, so
-    a dense contraction executes ~40x the algorithmic FLOPs (~80 GFLOP
-    per advanced iter) and carries a [4, ti, F] ~150 MB program
-    constant; the banded structure is only exploitable via exactly the
-    stride-3/2 lane regroup the rewrite tries to avoid."""
+    HIGHEST-precision dot runs the MXU at ~31% row utilization.  The
+    GEMM here differs in both respects: it runs in XLA with the batch
+    dims flattened into M = n * Z * nb rows (full MXU row utilization)
+    and at conv_precision, and its phase-contiguous operands come
+    straight out of the kernel (pmajor) with no slice or regroup."""
     from . import pallas_fb
     interp = jax.default_backend() != "tpu"
     blocks, front, n_inst, ti, lead = _blocks_for_conv(hp2, hp2_hist)
@@ -652,13 +686,72 @@ def _spread_fused(k: FBEarConsts, hp2: jnp.ndarray, hp2_hist, cu_state):
     zprev = jnp.concatenate([cu0[..., None], z[..., :-1]], axis=-1)
     cu_p = (a * zprev + c0, a * a * zprev + c1,
             a ** 3 * zprev + c2, z)              # each [n, Z, ti]
-    e0_ps = pallas_fb.spread_from_conv(
+    e0_p = pallas_fb.spread_from_conv(
         outs[0], outs[1], outs[2], cu_p,
         k.lower_matrix.astype(jnp.float32), n_inst,
-        interpret=interp)                            # [n, Z, 4, ti]
-    e0 = jnp.swapaxes(e0_ps, -1, -2).reshape(n, k.band_count, n_inst)
-    return (e0.reshape(*lead, k.band_count, n_inst),
-            z[..., -1].reshape(*lead, k.band_count))
+        pmajor=True, interpret=interp)           # [4, n, nb, Z, TB]
+    exc, uns, mask_new = _back_mask_from_pmajor(
+        k, e0_p, n_frames, mask_state, lead, return_state)
+    return exc, uns, z[..., -1].reshape(*lead, k.band_count), mask_new
+
+
+def _back_mask_from_pmajor(k: FBEarConsts, e0_p: jnp.ndarray,
+                           n_frames: int, mask_state, lead,
+                           return_state: bool):
+    """back_and_forward_masking_t consuming the Pallas spread kernel's
+    PHASE-MAJOR output [4, n, nb, Z, TB] directly.
+
+    The backward-masking frame sums sb/sa are per-frame [6]-contractions
+    of the instant-rate e0; on the phase-split layout they become FOUR
+    accumulated [n*Z*nb, TB] x [TB, 2*NF] GEMMs against the static
+    block-diagonal tap matrix k.back_mask_gemm (one per phase, operands
+    phase-contiguous straight out of the kernel).  TB = 384 quarter-rate
+    steps = 1536 instants = exactly NF = 256 frames, so frame windows
+    never cross GEMM blocks.  The padding FLOPs (6 live taps of 1536 per
+    output) cost ~0.5 ms of otherwise-idle MXU; the instant-order unsplit
+    + dual full reads of e0 they replace were ~2.7 ms of HBM traffic.
+    `mask_state` = (e0_tail [.., Z, 10] instant order, excitation [.., Z])
+    — same contract as back_and_forward_masking_t (stream states interop).
+    """
+    _, n, nb, Z, tb = e0_p.shape
+    nf = _BM_NF
+    assert nb * nf == n_frames, (nb, nf, n_frames)
+    W = k.back_mask_gemm.astype(e0_p.dtype)
+    sab = None
+    for p in range(4):
+        d = jnp.dot(e0_p[p], W[p],
+                    precision=k.conv_precision)  # [n, nb, Z, 2 * NF]
+        sab = d if sab is None else sab + d
+    # [n, nb, Z, NF] -> the recurrence's [n, Z, F] (frames contiguous on
+    # lanes across the nb GEMM blocks): one fused transpose+merge each,
+    # at FRAME rate — 6x smaller than the instant-rate arrays
+    to_zf = lambda x: jnp.moveaxis(x, -3, -2).reshape(n, Z, n_frames)
+    sb = to_zf(sab[..., :nf])
+    sa = to_zf(sab[..., nf:])
+    if mask_state is None:
+        e0_tail, exc0 = None, None
+    else:
+        e0_tail, exc0 = mask_state
+        e0_tail = e0_tail.reshape(n, Z, e0_tail.shape[-1])
+        exc0 = exc0.reshape(n, Z)
+    wa = k.back_mask_w[0]
+    if e0_tail is None:
+        prev = jnp.zeros_like(sa[..., :1])
+    else:  # previous chunk's last frame, instants 1..5 (wa[0] = 0)
+        prev = jnp.sum(e0_tail[..., -5:] * wa[1:], axis=-1, keepdims=True)
+    e1 = sb + jnp.concatenate([prev, sa[..., :-1]], axis=-1)
+    unsmeared = e1 + k.internal_noise[:, None]
+    excitation = iir.linear_recurrence_banded(
+        k.ear_a, (1.0 - k.ear_a)[:, None] * unsmeared, axis=-1, y0=exc0)
+    exc = excitation.reshape(*lead, Z, n_frames)
+    uns = unsmeared.reshape(*lead, Z, n_frames)
+    if not return_state:
+        return exc, uns, None
+    # streaming tail: last 10 instants in INSTANT order, interleaved from
+    # the final tile's last 3 quarter-rate steps (12 instants, i = 4t + p)
+    tail12 = jnp.transpose(e0_p[:, :, -1, :, -3:], (1, 2, 3, 0))
+    tail_new = tail12.reshape(n, Z, 12)[..., 2:].reshape(*lead, Z, 10)
+    return exc, uns, (tail_new, excitation[..., -1].reshape(*lead, Z))
 
 
 def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
@@ -737,8 +830,11 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
     if use_fused and n_inst_sig % 1536 == 0:  # pallas_fb.TILE_CONV
         # fused path: raw group convs -> slope state in the conv layout
         # (one transpose of dist_s instead of re+im) -> Pallas kernel that
-        # de-interleaves on VMEM tiles and spreads (ops/pallas_fb.py)
-        e0, cu_new = _spread_fused(k, hp2, hp2_hist, cu_state)
+        # de-interleaves on VMEM tiles and spreads (ops/pallas_fb.py) ->
+        # back/forward masking straight off the phase-split output (the
+        # instant-order e0 never materializes)
+        exc, uns, cu_new, mask_new = _spread_fused_masked(
+            k, hp2, hp2_hist, cu_state, n_frames, mask_state, True)
     else:
         # grouped conv into the transposed band-major layout [.., 40, I]
         # (instant 4t + p on lanes); the band-domain chain then runs
@@ -747,8 +843,8 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
         e0, cu_new = spread_t(
             k, fb_re.astype(bdtype), fb_im.astype(bdtype),
             cu_state, True)                      # [.., 40, I]
-    exc, uns, mask_new = back_and_forward_masking_t(
-        k, e0, n_frames, mask_state, True)       # [.., 40, F]
+        exc, uns, mask_new = back_and_forward_masking_t(
+            k, e0, n_frames, mask_state, True)   # [.., 40, F]
     if return_state:
         hist = (jnp.concatenate([hp2_hist, hp2], -1)[..., -_HIST_LEN:]
                 if hp2_hist is not None else

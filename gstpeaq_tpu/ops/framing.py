@@ -8,6 +8,7 @@ frame (src/gstpeaq.c:715-745) supplied by host-side padding.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -121,23 +122,29 @@ def above_threshold_signal(sig: jnp.ndarray, n_frames: int, frame_size: int,
 
 
 def sliding_max5_blocked(sig3: jnp.ndarray) -> jnp.ndarray:
-    """Channel-max of the 5-sample sliding |.|-sums on the BLOCKED
-    [CH, Tb, 128] device layout — lane shifts with a one-block carry, so
-    the sublane-padded retile of the sample stream never materializes.
-    Returns m [Tb, 128] with m[j] = max_ch sum(|sig[j-4..j]|) (partial
-    sums for j < 4 — every consumer skips or never reads those).
+    """Channel-max of the 5-sample sliding |.|-sums on a BLOCKED
+    [CH, Tb, W] device layout (W = 128 tile rows or 1024 hop rows) —
+    lane shifts with a one-row carry, so the sublane-padded retile of
+    the sample stream never materializes.  Returns m [Tb, W] with
+    m[j] = max_ch sum(|sig[j-4..j]|) (partial sums for j < 4 — every
+    consumer skips or never reads those).
 
     ONE pass serves both ear models' data-boundary tests (the FFT and FB
     paths read the same reference samples; computing the flat-form test
     per path cost ~1 ms/iter of duplicate sample-rate traffic)."""
+    wd = sig3.shape[-1]
     a = jnp.abs(sig3)
-    ap = jnp.concatenate(
-        [jnp.zeros_like(a[..., :1, :]), a[..., :-1, :]], axis=-2)
+    # the four cross-row carries are 1..4-lane slices of the row-shifted
+    # stream — sliced lazily they each cost a FULL re-read of the pair
+    # array (4 x ~0.1 ms/iter in the r04 profile); extract the shared
+    # 4-lane carry block ONCE behind a barrier (ops/dc_block.py pattern)
+    c4 = jax.lax.optimization_barrier(jnp.concatenate(
+        [jnp.zeros_like(a[..., :1, -4:]), a[..., :-1, -4:]], axis=-2))
     w = a
     for s in range(1, 5):
         w = w + jnp.concatenate(
-            [ap[..., 128 - s:], a[..., :128 - s]], axis=-1)
-    return jnp.max(w, axis=-3)                   # over channels: [.., Tb, 128]
+            [c4[..., 4 - s:], a[..., :wd - s]], axis=-1)
+    return jnp.max(w, axis=-3)                   # over channels: [.., Tb, W]
 
 
 def fb_gate_from_max5(m: jnp.ndarray, n_frames: int) -> jnp.ndarray:
@@ -181,3 +188,43 @@ def above_threshold_blocked(sig3: jnp.ndarray, n_frames: int) -> jnp.ndarray:
     """above_threshold_signal for the FB path on the BLOCKED [CH, Tb, 128]
     device layout (see sliding_max5_blocked / fb_gate_from_max5)."""
     return fb_gate_from_max5(sliding_max5_blocked(sig3), n_frames)
+
+
+def fft_gate_from_max5_hops(m: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """fft_gate_from_max5 on the HOP-layout max5 [.., Tq, 1024] (one row
+    per hop — the ship layout whose rows ARE the rDFT's hop blocks).
+    Hop == row makes this the cheapest form: the tail hop of frame f is
+    row f with its first 5 frame-local windows skipped; the full hop is
+    row f + 1 whole.  Same decisions as above_threshold_signal(sig, n,
+    2048, 1024) — the j < 4 partial sums exist only in row 0, which the
+    >= 5 skip covers."""
+    rows = n_frames + 1
+    mr = m[..., :rows, :]
+    r = jnp.max(mr, axis=-1)                               # [.., rows]
+    m5 = jnp.where(jnp.asarray(np.arange(C.FFT_STEPSIZE) >= 5), mr, 0.0)
+    r5 = jnp.max(m5, axis=-1)
+    th = C.FRAME_THRESHOLD
+    return (r5[..., :n_frames] >= th) | (r[..., 1:n_frames + 1] >= th)
+
+
+def fb_gate_from_max5_hops(m: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """fb_gate_from_max5 on the HOP-layout max5 [.., Tq, 1024].
+    1024 = 16 segments of 64 and gcd(192, 64) = 64, so FB frames are
+    exactly 3 segments starting on segment boundaries: two fused
+    segment-max passes (full, and frame-start skip-5 masked) reduce the
+    sample-rate data once; the 3-segment frame combine then runs on the
+    tiny [.., T/64] summary.  Requires (Tq * 16) % 3 == 0 (every
+    1024-aligned FB bucket: t_fb % 3072 == 0 whenever t_fb % 1024 == 0,
+    since t_fb = 192 * n_fb)."""
+    tq = m.shape[-2]
+    segs = tq * 16
+    assert segs % 3 == 0, tq
+    sm = jnp.max(m.reshape(*m.shape[:-1], 16, 64), axis=-1)   # [.., Tq, 16]
+    m5 = jnp.where(jnp.asarray(np.arange(1024) % 64 >= 5), m, 0.0)
+    sm5 = jnp.max(m5.reshape(*m.shape[:-1], 16, 64), axis=-1)
+    s = sm.reshape(*m.shape[:-2], segs)
+    s5 = sm5.reshape(*m.shape[:-2], segs)
+    rt = jnp.where(jnp.asarray(np.arange(segs) % 3 == 0), s5, s)
+    fr = (jnp.max(rt.reshape(*m.shape[:-2], -1, 3), axis=-1)
+          >= C.FRAME_THRESHOLD)
+    return fr[..., :n_frames]

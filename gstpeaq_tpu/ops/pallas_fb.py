@@ -137,13 +137,18 @@ def spread_apply(fb_re: jnp.ndarray, fb_im: jnp.ndarray, cu: jnp.ndarray,
     return out.reshape(shape)
 
 
-def _make_conv_kernel(group_sizes):
+def _make_conv_kernel(group_sizes, pmajor: bool = False):
     """Kernel over PHASE-MAJOR lane tiles: lane p * rows + t is instant
     4 * (tile_t0 + t) + p.  The interleave to true time order would be a
     lane-regroup reshape Mosaic cannot lower ("unsupported shape cast"),
     so cu arrives phase-split from XLA (one cheap minor transpose of ONE
     array) and E0 leaves phase-split the same way; only 2-d transposes,
-    static lane slices, and lane concats run in-kernel."""
+    static lane slices, and lane concats run in-kernel.
+
+    pmajor: write E0 with the phase axis OUTERMOST ([4, n, Z, nb, rows])
+    so each phase slice is a contiguous array downstream — the layout the
+    back-masking frame-sum GEMMs consume with zero-copy operands (see
+    fb_ear._back_mask_from_pmajor)."""
     def kernel(o1_ref, o2_ref, o3_ref, cu0_ref, cu1_ref, cu2_ref, cu3_ref,
                low_ref, out_ref):
         rows = TILE_CONV // 4
@@ -152,7 +157,10 @@ def _make_conv_kernel(group_sizes):
             [r[0] for r in (cu0_ref, cu1_ref, cu2_ref, cu3_ref)], axis=1)
         e0 = _shift_multiply_e0(fbr, fbi, cu, low_ref[:])
         for p in range(4):
-            out_ref[0, :, p, :] = e0[:, p * rows:(p + 1) * rows]
+            if pmajor:
+                out_ref[p, 0, 0, :, :] = e0[:, p * rows:(p + 1) * rows]
+            else:
+                out_ref[0, :, p, :] = e0[:, p * rows:(p + 1) * rows]
     return kernel
 
 
@@ -250,9 +258,10 @@ def slope_prefixes_from_conv(o1, o2, o3, c1_band, slope_a, n_inst: int,
 # See git history for the implementation.
 
 
-@functools.partial(jax.jit, static_argnames=("n_inst", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_inst", "pmajor",
+                                              "interpret"))
 def spread_from_conv(o1, o2, o3, cu_phases, lower_matrix, n_inst: int,
-                     interpret: bool = False):
+                     pmajor: bool = False, interpret: bool = False):
     """E0 from the three RAW group-conv outputs — the de-interleave to the
     [Z, I] band-major layout happens on VMEM tiles inside the kernel, so
     the XLA transpose passes (the former regroup, ~6 ms/iter) never touch
@@ -263,7 +272,13 @@ def spread_from_conv(o1, o2, o3, cu_phases, lower_matrix, n_inst: int,
     cu_phases: 4-tuple of [..., Z, ti] phase-split slope states
     (cu_phases[p][.., t] = cu at instant 4t + p — born phase-split from
     the quarter-rate recurrence, no transpose pass);
-    Returns E0 [..., Z, 4, ti] PHASE-SPLIT (caller interleaves).
+    Returns E0 PHASE-SPLIT: [..., Z, 4, ti] by default, or with
+    pmajor=True [4, n, nb, Z, rows] (nb = ti / rows grid blocks, n = the
+    flattened lead) — identical VMEM writes, phase-contiguous in HBM for
+    the back-masking frame-sum GEMMs (fb_ear._back_mask_from_pmajor).
+    The nb dim sits OUTSIDE Z so the block's last two dims are (Z, rows)
+    — Mosaic requires them divisible by (8, 128) or equal to the array
+    dims, which a (.., nb-block 1, 384) tail violates.
     Requires n_inst % TILE_CONV == 0 (see TILE_CONV).
     """
     assert n_inst % TILE_CONV == 0, n_inst
@@ -275,6 +290,7 @@ def spread_from_conv(o1, o2, o3, cu_phases, lower_matrix, n_inst: int,
     group_sizes = (o1.shape[-1] // 8, o2.shape[-1] // 8, o3.shape[-1] // 8)
     os_ = [o.reshape(n, o.shape[-2], o.shape[-1]) for o in (o1, o2, o3)]
     rows = TILE_CONV // 4
+    nb = ti // rows
     grid = (n, n_inst // TILE_CONV)
     # index maps are in BLOCK units: block i covers rows [i*rows, (i+1)*rows)
     o_specs = [
@@ -283,11 +299,18 @@ def spread_from_conv(o1, o2, o3, cu_phases, lower_matrix, n_inst: int,
         for g in group_sizes]
     cu_spec = pl.BlockSpec((1, Z, rows), lambda b, i: (b, 0, i),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, Z, 4, rows), lambda b, i: (b, 0, 0, i),
-                            memory_space=pltpu.VMEM)
+    if pmajor:
+        out_shape = jax.ShapeDtypeStruct((4, n, nb, Z, rows), jnp.float32)
+        out_spec = pl.BlockSpec((4, 1, 1, Z, rows),
+                                lambda b, i: (0, b, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((n, Z, 4, ti), jnp.float32)
+        out_spec = pl.BlockSpec((1, Z, 4, rows), lambda b, i: (b, 0, 0, i),
+                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_conv_kernel(group_sizes),
-        out_shape=jax.ShapeDtypeStruct((n, Z, 4, ti), jnp.float32),
+        _make_conv_kernel(group_sizes, pmajor),
+        out_shape=out_shape,
         grid=grid,
         in_specs=o_specs + [cu_spec] * 4
         + [pl.BlockSpec((Z, Z), lambda b, i: (0, 0),
@@ -299,4 +322,6 @@ def spread_from_conv(o1, o2, o3, cu_phases, lower_matrix, n_inst: int,
             bytes_accessed=4 * 4 * Z * n_inst * n,
             transcendentals=0),
     )(*os_, *cus, lower_matrix)
+    if pmajor:
+        return out
     return out.reshape(*lead, Z, 4, ti)

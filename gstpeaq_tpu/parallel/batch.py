@@ -138,10 +138,13 @@ def prepare_chunk(refs, tests, buckets):
     if len(buckets) == 1:
         out_r, out_t, valid = _pad_pairwise(refs, tests, buckets[0],
                                             C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
-        # blocked [B, CH, T/128, 128] device-tile layout (free host
-        # reshape; T is always 128-divisible) — see models/basic.py
-        return (out_r.reshape(*out_r.shape[:-1], -1, 128),
-                out_t.reshape(*out_t.shape[:-1], -1, 128), valid)
+        # HOP-layout ship [B, CH, F+1, 1024] (free host reshape; T is
+        # always (n+1)*1024): the rows ARE the rDFT's hop blocks, so the
+        # device never runs a blocked->flat merge or blocks_hop retile —
+        # see models/basic.py and framing.fft_gate_from_max5_hops
+        hop = C.FFT_STEPSIZE
+        return (out_r.reshape(*out_r.shape[:-1], -1, hop),
+                out_t.reshape(*out_t.shape[:-1], -1, hop), valid)
     t_fft = framing.padded_length(buckets[0], C.FFT_FRAMESIZE,
                                   C.FFT_STEPSIZE)
     t_fb = buckets[1] * C.FB_FRAMESIZE
@@ -159,7 +162,12 @@ def prepare_chunk(refs, tests, buckets):
         for j, sig in enumerate((r, t)):
             take = min(t_max, sig.shape[0])
             out[i, j, :, :take] = sig[:take].T
-    if t_max % 128 == 0 and t_fb % 128 == 0:
+    hop = C.FFT_STEPSIZE
+    if t_max % hop == 0 and t_fb % hop == 0:
+        # HOP-layout ship (see the basic branch above; the FB path
+        # re-tiles its prefix to 128-blocks on device in one reshape)
+        out = out.reshape(*out.shape[:-1], -1, hop)
+    elif t_max % 128 == 0 and t_fb % 128 == 0:
         out = out.reshape(*out.shape[:-1], -1, 128)
     return out, valid_fft, valid_fb
 

@@ -230,6 +230,30 @@ def test_unified_threshold_gates_match_flat():
     np.testing.assert_array_equal(np.asarray(got_fb), np.asarray(want_fb))
 
 
+def test_unified_threshold_gates_match_flat_hops():
+    """The HOP-layout [.., Tq, 1024] gate forms (the r5 ship layout whose
+    rows are the rDFT's hop blocks) must reproduce both ear models' flat
+    data-boundary gates exactly as well."""
+    from gstpeaq_tpu.ops import framing
+    rng = np.random.default_rng(13)
+    n_fft, n_fb = 32, 176            # t_fft == t_fb == 33792 == 33 * 1024
+    t_fft = (n_fft + 1) * 1024
+    t_fb = n_fb * 192
+    t = max(t_fft, t_fb)
+    x = (rng.standard_normal((2, t)) * 1e-3).astype(np.float32)
+    x[:, 5000:12000] = 0.0           # quiet span -> gate transitions
+    x[:, 20000:20200] *= 100.0
+    m = framing.sliding_max5_blocked(jnp.asarray(x.reshape(2, -1, 1024)))
+    got_fft = framing.fft_gate_from_max5_hops(m, n_fft)
+    got_fb = framing.fb_gate_from_max5_hops(m[..., :t_fb // 1024, :], n_fb)
+    want_fft = framing.above_threshold_signal(
+        jnp.asarray(x[:, :t_fft]), n_fft, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+    want_fb = framing.above_threshold_signal(
+        jnp.asarray(x[:, :t_fb]), n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+    np.testing.assert_array_equal(np.asarray(got_fft), np.asarray(want_fft))
+    np.testing.assert_array_equal(np.asarray(got_fb), np.asarray(want_fb))
+
+
 def test_blocked_fb_input_matches_flat():
     """The blocked [CH, T/128, 128] FB input layout (host-shipped for the
     Pallas DC fast path) must reproduce the flat [CH, T] path exactly:
