@@ -79,7 +79,10 @@ def bench(advanced: bool, batch: int, seconds: float, dtype: str,
     buckets = B.compute_buckets(refs, tests, advanced)
     arrays = B.prepare_chunk(refs, tests, buckets)
     mb = min(microbatch, batch)
-    chunks = [[jax.device_put(a[s:s + mb]) for a in arrays]
+    # advanced sig_pair is pair-outermost [2, B, ...]: batch axis is dim 1
+    sl = lambda a, s: (a[:, s:s + mb] if advanced and a.ndim >= 4
+                       else a[s:s + mb])
+    chunks = [[jax.device_put(sl(a, s)) for a in arrays]
               for s in range(0, batch, mb)]
     if advanced:
         fn = B._jitted_advanced_batch(92.0, C.DEFAULT_SETTINGS, dtype,
@@ -189,12 +192,14 @@ def main() -> None:
     # about all three); a failure prints a JSON record with value 0 rather
     # than silently dropping the tier
     for metric, kwargs in [
-        # microbatch 16: each jit execute costs ~33 ms of host overhead on
-        # the tunneled backend, so chunks must be big enough to hide it
-        # under device compute (mb8 busy time dropped below that floor)
+        # microbatch 32 (r5): the r4 "mb32 measured WORSE" note predates
+        # the HOP-layout ship + phase-major masking GEMMs; re-measured
+        # interleaved A/B (tools/mb_ab.py): mb32 median 6006 vs mb16 5146
+        # vs mb64 5724 a-s/s, and mb32's spread is 4x tighter (fewer
+        # tunnel dispatches per audio-second ride out the wobble)
         (f"audio-seconds/sec/chip (advanced PEAQ, batch {batch})",
          dict(advanced=True, batch=batch, seconds=seconds, dtype=dtype,
-              iters=2, microbatch=16, repeats=3)),
+              iters=2, microbatch=32, repeats=3)),
         # accurate tier == dense rDFT with HIGHEST front-end GEMMs since
         # the r4 on-chip 20-item drift runs (docs/precision.md): worst
         # |dODG| 1.4e-4 basic / 5.1e-4 advanced — inside the 1e-3 gate —
@@ -212,7 +217,7 @@ def main() -> None:
          f"batch {batch})",
          dict(advanced=True, batch=batch, seconds=seconds,
               dtype="accurate" if on_tpu else "float64", iters=2,
-              microbatch=16, repeats=3)),
+              microbatch=32, repeats=3)),
     ]:
         try:
             rates, err = bench_safe(**kwargs)

@@ -528,14 +528,20 @@ def stateless_pair_hop(k: FFTEarConsts, ref_blocks: jnp.ndarray,
         # the exact subtract fuses into delta's operand copy
         r_ri = _spec_ri_hop(k, ref)
         d_ri = _spec_ri_hop(k, ref - test)
-        t_ri = r_ri - d_ri
-        spec2 = jnp.stack([r_ri, t_ri])
-        power = (spec2[..., :bins] ** 2
-                 + spec2[..., bins:] ** 2) * k.level_factor
-        s_ri = r_ri + t_ri
-        delta_power = (d_ri[..., :hi] * s_ri[..., :hi]
-                       + d_ri[..., bins:bins + hi]
-                       * s_ri[..., bins:bins + hi]) * k.level_factor
+        # ONE fused pass over (r, d): the full-width t/s spectra and the
+        # [2, ..] spec stack never hit HBM (materializing t_ri + spec2 +
+        # s_ri cost ~3 extra spectrum-rate HBM passes, ~0.6 ms/iter at
+        # advanced mb16, r5 hlo profile).  The elementwise operations and
+        # their order are IDENTICAL to the materialized form (t = r - d
+        # inline, s = r + t inline), so results are bit-equal.
+        r_re, r_im = r_ri[..., :bins], r_ri[..., bins:]
+        d_re, d_im = d_ri[..., :bins], d_ri[..., bins:]
+        t_re, t_im = r_re - d_re, r_im - d_im
+        power = jnp.stack([r_re ** 2 + r_im ** 2,
+                           t_re ** 2 + t_im ** 2]) * k.level_factor
+        delta_power = (d_re[..., :hi] * (r_re[..., :hi] + t_re[..., :hi])
+                       + d_im[..., :hi] * (r_im[..., :hi] + t_im[..., :hi])
+                       ) * k.level_factor
     # spread_ref_only: the advanced path consumes ONLY the ref unsmeared
     # excitation (NMR masks against ref; no FFT-path level adapter) — the
     # test signal's grouping + spreading are dead, but they live inside

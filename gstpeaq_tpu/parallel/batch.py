@@ -52,7 +52,9 @@ def _jitted_advanced_batch(playback_level: float, settings: C.Settings,
         fft_spectra=api.use_fft_spectra(dtype_name),
         accurate=api.use_accurate(dtype_name))
     upipe = advanced.unified_input(pipe, n_fft, n_fb)
-    jfn = jax.jit(jax.vmap(upipe, in_axes=(None, 0, 0, 0)))
+    # sig_pair ships PAIR-OUTERMOST [2, B, ...] (see prepare_chunk):
+    # the batch axis is dim 1
+    jfn = jax.jit(jax.vmap(upipe, in_axes=(None, 1, 0, 0)))
     return lambda *args: jfn(consts, *args)
 
 
@@ -130,11 +132,16 @@ def prepare_chunk(refs, tests, buckets):
 
     Basic: returns (ref_fft [B, CH, T], test_fft, valid_fft).
     Advanced: returns (sig_pair, valid_fft, valid_fb) — ONE raw
-    ref/test-stacked audio array [B, 2, CH, Tmax] covering BOTH paths
+    ref/test-stacked audio array [2, B, CH, Tmax] covering BOTH paths
     (models/advanced.unified_input slices each path's prefix on device;
     shipping per-path padded copies doubled transfer and host-padding
-    cost).  When tile-aligned it ships in the blocked
-    [B, 2, CH, Tmax/128, 128] device layout (free host reshape)."""
+    cost).  The PAIR axis is outermost: the compiled program indexes
+    sig_pair[0]/sig_pair[1], and XLA relaid a [B, 2, ...] input out to
+    the pair-major physical order anyway (~0.4 ms/iter of input data
+    formatting at advanced mb16, r5 profile) — shipping pair-major
+    makes the default layout the wanted one.  When tile-aligned it
+    ships in the blocked [2, B, CH, Tmax/128, 128] device layout (free
+    host reshape)."""
     if len(buckets) == 1:
         out_r, out_t, valid = _pad_pairwise(refs, tests, buckets[0],
                                             C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
@@ -151,7 +158,7 @@ def prepare_chunk(refs, tests, buckets):
     t_max = max(t_fft, t_fb)
     ch = refs[0].shape[1]
     b = len(refs)
-    out = np.zeros((b, 2, ch, t_max), dtype=_ship_dtype(refs, tests))
+    out = np.zeros((2, b, ch, t_max), dtype=_ship_dtype(refs, tests))
     valid_fft = np.empty((b,), dtype=np.int32)
     valid_fb = np.empty((b,), dtype=np.int32)
     for i, (r, t) in enumerate(zip(refs, tests)):
@@ -161,7 +168,7 @@ def prepare_chunk(refs, tests, buckets):
                                          C.FB_FRAMESIZE, C.FB_FRAMESIZE)
         for j, sig in enumerate((r, t)):
             take = min(t_max, sig.shape[0])
-            out[i, j, :, :take] = sig[:take].T
+            out[j, i, :, :take] = sig[:take].T
     hop = C.FFT_STEPSIZE
     if t_max % hop == 0 and t_fb % hop == 0:
         # HOP-layout ship (see the basic branch above; the FB path

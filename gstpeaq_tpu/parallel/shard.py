@@ -51,7 +51,8 @@ def _jitted_sharded(advanced: bool, playback_level: float,
             fft_spectra=api.use_fft_spectra(dtype_name),
             accurate=api.use_accurate(dtype_name))
         pipe = mod.unified_input(pipe, buckets[0], buckets[1])
-        in_axes = (None, 0, 0, 0)
+        # sig_pair ships PAIR-OUTERMOST [2, B, ...] (batch.prepare_chunk)
+        in_axes = (None, 1, 0, 0)
     else:
         from ..models import basic as mod
         pipe, consts = mod.make_pipeline(
@@ -63,10 +64,14 @@ def _jitted_sharded(advanced: bool, playback_level: float,
     data_sharding = NamedSharding(mesh, P(PAIR_AXIS))
     rep = NamedSharding(mesh, P())
     consts_shardings = jax.tree.map(lambda _: rep, consts)
-    n_data = len(in_axes) - 1
+    # shard every data array along its BATCH axis (dim 1 for the
+    # pair-outermost advanced sig_pair, dim 0 otherwise)
+    arg_shardings = tuple(
+        NamedSharding(mesh, P(*([None] * ax + [PAIR_AXIS])))
+        for ax in in_axes[1:])
     jfn = jax.jit(
         batched,
-        in_shardings=(consts_shardings,) + (data_sharding,) * n_data,
+        in_shardings=(consts_shardings,) + arg_shardings,
         out_shardings=NamedSharding(mesh, P(PAIR_AXIS)))
     return lambda *args: jfn(consts, *args)
 
@@ -107,7 +112,10 @@ def peaq_sharded(refs: Sequence[np.ndarray], tests: Sequence[np.ndarray],
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
     sh = NamedSharding(mesh, P(PAIR_AXIS))
-    arrays = [jax.device_put(a, sh) for a in arrays]
+    # advanced sig_pair is pair-outermost [2, B, ...]: batch axis is dim 1
+    sh_pair = NamedSharding(mesh, P(None, PAIR_AXIS))
+    arrays = [jax.device_put(a, sh_pair if advanced and i == 0 else sh)
+              for i, a in enumerate(arrays)]
     out = fn(*arrays)
     return {
         "odg": np.asarray(out.odg)[:n],
