@@ -137,11 +137,17 @@ def make_pipeline(playback_level: float = 92.0,
                     and thresh_blocked.shape[-1] == C.FFT_STEPSIZE)
         if thresh_blocked is not None:
             # blocked unified input: one sliding-max pass over the ref
-            # serves both paths' gates (framing.sliding_max5_blocked)
-            max5 = framing.sliding_max5_blocked(thresh_blocked.astype(sdtype))
-            above_fft = (framing.fft_gate_from_max5_hops(max5, n_fft)
-                         if hop_gate else
-                         framing.fft_gate_from_max5(max5, n_fft))
+            # serves both paths' gates; the hop path reduces to per-64-
+            # chunk maxima in the producing pass (sliding_max5_chunks)
+            # so the sample-rate max5 never materializes
+            if hop_gate:
+                cm, cm5 = framing.sliding_max5_chunks(
+                    thresh_blocked.astype(sdtype))
+                above_fft = framing.fft_gate_from_chunks(cm, cm5, n_fft)
+            else:
+                max5 = framing.sliding_max5_blocked(
+                    thresh_blocked.astype(sdtype))
+                above_fft = framing.fft_gate_from_max5(max5, n_fft)
         else:
             above_fft = framing.above_threshold_signal(
                 ref_fft.astype(sdtype), n_fft, C.FFT_FRAMESIZE,
@@ -192,8 +198,9 @@ def make_pipeline(playback_level: float = 92.0,
             # (fuses into the DC table GEMM's operand format)
             n_fb = fb_pair.shape[-2] * C.FFT_STEPSIZE // C.FB_FRAMESIZE
             if hop_gate:
-                above_fb = framing.fb_gate_from_max5_hops(
-                    max5[..., :fb_pair.shape[-2], :], n_fb)
+                rows_fb = fb_pair.shape[-2]
+                above_fb = framing.fb_gate_from_chunks(
+                    cm[..., :rows_fb, :], cm5[..., :rows_fb, :], n_fb)
             else:
                 above_fb = framing.above_threshold_blocked(
                     fb_pair[0].astype(sdtype).reshape(

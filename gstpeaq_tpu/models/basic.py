@@ -80,8 +80,8 @@ def make_pipeline(band_count: int = C.BASIC_BAND_COUNT,
             # retile ever runs (those two copies were ~17% of the basic
             # device time in the r04 advanced-path profile's equivalents)
             n_frames = ref_sig.shape[-2] - 1
-            above = framing.fft_gate_from_max5_hops(
-                framing.sliding_max5_blocked(ref_sig.astype(sdtype)),
+            above = framing.fft_gate_from_chunks(
+                *framing.sliding_max5_chunks(ref_sig.astype(sdtype)),
                 n_frames)
             ref_blocks, test_blocks = ref_sig, test_sig
         elif ref_sig.ndim == 3:          # blocked [CH, Tb, 128] (streams)

@@ -163,11 +163,17 @@ def dc_chain_blocked(x3: jnp.ndarray, level: jnp.ndarray, state=None,
     # array (lane slices each re-read the whole array — a [.., 2]-lane
     # slice of the 126 MB input measured 0.38 ms TWICE when XLA
     # duplicated it into consumers; the optimization_barrier pins the
-    # small results so the big operand is read once).
+    # small results so the big operand is read once).  The boundary
+    # lanes are ONE-HOT REDUCES, not slices: r5 HLO showed XLA serving
+    # the two lane slices via a full [.., G, 128] -> lanes-on-G
+    # transposed copy (~0.75 ms/iter at advanced mb32); a masked sum
+    # fuses into r1's reduce pass and is bit-exact (v + 127 zeros = v).
     w0 = jnp.dot(x, f(tb["tw"]), precision=hp) * level
     r1 = jnp.sum(x * f(tb["tw"][:, -1]), axis=-1) * level  # = w0[.., -1]
-    xm1c = x[..., block - 1] * level
-    xm2c = x[..., block - 2] * level
+    eye1 = np.zeros(block, np.float64); eye1[block - 1] = 1.0
+    eye2 = np.zeros(block, np.float64); eye2[block - 2] = 1.0
+    xm1c = jnp.sum(x * f(eye1), axis=-1) * level
+    xm2c = jnp.sum(x * f(eye2), axis=-1) * level
     r1, xm1c, xm2c = jax.lax.optimization_barrier((r1, xm1c, xm2c))
     xm1_e = jnp.concatenate([xm1_0[:, None], xm1c[:, :-1]], axis=1)
     xm2_e = jnp.concatenate([xm2_0[:, None], xm2c[:, :-1]], axis=1)
@@ -193,8 +199,8 @@ def dc_chain_blocked(x3: jnp.ndarray, level: jnp.ndarray, state=None,
     # u2 block drives + boundary lanes: one fused multi-reduce over y1
     fur = jnp.sum(y1 * f(tb["bu_re"]), axis=-1)
     fui = jnp.sum(y1 * f(tb["bu_im"]), axis=-1)
-    y1m1c = y1[..., block - 1]
-    y1m2c = y1[..., block - 2]
+    y1m1c = jnp.sum(y1 * f(eye1), axis=-1)   # = y1[.., -1], fused reduce
+    y1m2c = jnp.sum(y1 * f(eye2), axis=-1)
     fur, fui, y1m1c, y1m2c = jax.lax.optimization_barrier(
         (fur, fui, y1m1c, y1m2c))
     y1m1_e = jnp.concatenate([y1m1_0[:, None], y1m1c[:, :-1]], axis=1)

@@ -147,6 +147,65 @@ def sliding_max5_blocked(sig3: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(w, axis=-3)                   # over channels: [.., Tb, W]
 
 
+def sliding_max5_chunks(sig3: jnp.ndarray):
+    """sliding_max5_blocked reduced to per-64-lane-chunk maxima inside
+    the PRODUCING pass: returns (cm, cm5), each [.., Tr, W//64], with
+    cm[r, c] = max over lanes 64c..64c+63 of the sliding sums and cm5
+    the same with each chunk's first 5 lanes masked to 0 (the
+    frame-local j < 5 skip; sums are >= 0 so 0 is an identity for the
+    >= threshold max, as in the gate functions below).  max-of-max is
+    bit-exact vs reducing the full max5, and the sample-rate w/m arrays
+    never hit HBM — the materialized [.., Tq, 1024] max5 was ~1.2
+    ms/iter of pure writes in the r5 advanced mb32 profile.  Every gate
+    granularity is 64-aligned: FFT hop rows are 16 chunks, FB frames
+    are exactly 3 (192 = 3 * 64)."""
+    wd = sig3.shape[-1]
+    assert wd % 64 == 0, wd
+    a = jnp.abs(sig3)
+    c4 = jax.lax.optimization_barrier(jnp.concatenate(
+        [jnp.zeros_like(a[..., :1, -4:]), a[..., :-1, -4:]], axis=-2))
+    w = a
+    for s in range(1, 5):
+        w = w + jnp.concatenate(
+            [c4[..., 4 - s:], a[..., :wd - s]], axis=-1)
+    wc = w.reshape(*w.shape[:-1], wd // 64, 64)
+    cm = jnp.max(jnp.max(wc, axis=-1), axis=-3)          # [.., Tr, W/64]
+    m5 = jnp.asarray(np.arange(64) >= 5)
+    cm5 = jnp.max(jnp.max(jnp.where(m5, wc, 0.0), axis=-1), axis=-3)
+    return cm, cm5
+
+
+def fft_gate_from_chunks(cm: jnp.ndarray, cm5: jnp.ndarray,
+                         n_frames: int) -> jnp.ndarray:
+    """fft_gate_from_max5_hops on the chunked (cm, cm5) summaries
+    ([.., rows, 16], one row per 1024-sample hop): the full-row max
+    comes from cm; the row's skip-5 max combines chunk 0's masked max
+    with chunks 1.. unmasked (the j < 5 skip lives entirely inside the
+    first 64-lane chunk).  Identical decisions to the max5 form."""
+    rows = n_frames + 1
+    r = jnp.max(cm[..., :rows, :], axis=-1)               # [.., rows]
+    r5 = jnp.maximum(cm5[..., :rows, 0],
+                     jnp.max(cm[..., :rows, 1:], axis=-1))
+    th = C.FRAME_THRESHOLD
+    return (r5[..., :n_frames] >= th) | (r[..., 1:rows] >= th)
+
+
+def fb_gate_from_chunks(cm: jnp.ndarray, cm5: jnp.ndarray,
+                        n_frames: int) -> jnp.ndarray:
+    """fb_gate_from_max5_hops on the chunked summaries: each lane IS a
+    64-sample segment and FB frames are exactly 3 segments starting on
+    segment boundaries; frame-start segments take the skip-5 masked
+    max.  Identical decisions to the max5 form."""
+    segs = cm.shape[-2] * cm.shape[-1]
+    assert segs % 3 == 0, cm.shape
+    s = cm.reshape(*cm.shape[:-2], segs)
+    s5 = cm5.reshape(*cm.shape[:-2], segs)
+    rt = jnp.where(jnp.asarray(np.arange(segs) % 3 == 0), s5, s)
+    fr = (jnp.max(rt.reshape(*cm.shape[:-2], -1, 3), axis=-1)
+          >= C.FRAME_THRESHOLD)
+    return fr[..., :n_frames]
+
+
 def fb_gate_from_max5(m: jnp.ndarray, n_frames: int) -> jnp.ndarray:
     """FB-path frame gates (frame == step == 192) from sliding_max5_blocked
     output [.., Tb, 128].  Windows ending at frame-local samples 0..4 are

@@ -254,6 +254,42 @@ def test_unified_threshold_gates_match_flat_hops():
     np.testing.assert_array_equal(np.asarray(got_fb), np.asarray(want_fb))
 
 
+def test_unified_threshold_gates_chunk_form_matches():
+    """The chunk-reduced gate forms (framing.sliding_max5_chunks — the
+    producing pass emits per-64-lane maxima so the sample-rate max5
+    never materializes) must give identical decisions to the max5 hop
+    forms AND the flat reference on the same signal."""
+    from gstpeaq_tpu.ops import framing
+    rng = np.random.default_rng(13)
+    n_fft, n_fb = 32, 176            # t_fft == t_fb == 33792 == 33 * 1024
+    t_fft = (n_fft + 1) * 1024
+    t_fb = n_fb * 192
+    t = max(t_fft, t_fb)
+    x = (rng.standard_normal((2, t)) * 1e-3).astype(np.float32)
+    x[:, 5000:12000] = 0.0           # quiet span -> gate transitions
+    x[:, 20000:20200] *= 100.0
+    xb = jnp.asarray(x.reshape(2, -1, 1024))
+    cm, cm5 = framing.sliding_max5_chunks(xb)
+    got_fft = framing.fft_gate_from_chunks(cm, cm5, n_fft)
+    rows_fb = t_fb // 1024
+    got_fb = framing.fb_gate_from_chunks(
+        cm[..., :rows_fb, :], cm5[..., :rows_fb, :], n_fb)
+    m = framing.sliding_max5_blocked(xb)
+    np.testing.assert_array_equal(
+        np.asarray(got_fft),
+        np.asarray(framing.fft_gate_from_max5_hops(m, n_fft)))
+    np.testing.assert_array_equal(
+        np.asarray(got_fb),
+        np.asarray(framing.fb_gate_from_max5_hops(m[..., :rows_fb, :],
+                                                  n_fb)))
+    want_fft = framing.above_threshold_signal(
+        jnp.asarray(x[:, :t_fft]), n_fft, C.FFT_FRAMESIZE, C.FFT_STEPSIZE)
+    want_fb = framing.above_threshold_signal(
+        jnp.asarray(x[:, :t_fb]), n_fb, C.FB_FRAMESIZE, C.FB_FRAMESIZE)
+    np.testing.assert_array_equal(np.asarray(got_fft), np.asarray(want_fft))
+    np.testing.assert_array_equal(np.asarray(got_fb), np.asarray(want_fb))
+
+
 def test_blocked_fb_input_matches_flat():
     """The blocked [CH, T/128, 128] FB input layout (host-shipped for the
     Pallas DC fast path) must reproduce the flat [CH, T] path exactly:
