@@ -814,7 +814,8 @@ def process_signal(k: FBEarConsts, signal: jnp.ndarray, n_frames: int,
             x3 = signal.astype(jnp.float32).reshape(
                 *lead_sig, t_sig // 128, 128)
         hp2, dc_new = dc_block.dc_chain_blocked(
-            x3, k.level_factor, state=dc_state, return_state=True)
+            x3, k.level_factor, state=dc_state, return_state=True,
+            precision=k.conv_precision)
         hp2 = hp2.reshape(*lead_sig, t_sig)
     else:
         if blocked:
